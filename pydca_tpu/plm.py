@@ -1,0 +1,443 @@
+"""Pseudolikelihood-maximization DCA (plmDCA), TPU-native.
+
+Replaces the reference's C++/OpenMP backend (``pydca/plmdca/plmdca_numerics.cpp``
++ vendored float32 libLBFGS) with a JAX formulation built for the MXU:
+
+- The per-site conditional logits for *all* sites and sequences at once are a
+  single matmul ``logits = X @ Jmat.T + h`` with ``X`` the one-hot alignment
+  ``(N, L*q)`` and ``Jmat`` the symmetric coupling matrix ``(L*q, L*q)``
+  (the reference's hot loop ``plmdca_numerics.cpp:436-607`` is O(N L^2 q)
+  scalar work per L-BFGS iteration; here it is 2·N·(Lq)^2 MXU FLOPs).
+- Parameters live in a flat float32 vector in the *reference's exact layout*
+  (fields site-major then couplings pair-major; ``plmdca_numerics.cpp:319-365``)
+  so parameter-level comparisons against the reference backend are direct.
+  The symmetric-J variant (one J_ij per pair feeding both conditionals i and j)
+  falls out of AD through the triu gather that expands the flat couplings to
+  the full (L, L, q, q) tensor.
+- The optimizer is the jittable L-BFGS in :mod:`pydca_tpu.ops.lbfgs` with the
+  reference's budget (m=5, eps=1e-3, ftol=1e-4, <=5 line-search evals,
+  <=100 iterations; ``plmdcaBackend.cpp:68-75``).
+
+Note: the reference gradient carries its softmax accumulator across sequences
+without resetting (``plmdca_numerics.cpp:492-499``), slightly perturbing its
+objective; this implementation computes the exact pseudolikelihood, so
+score parity with the reference is at ranking level, not parameter level.
+
+The loss is exposed in both a full-batch form and a sequence-sharded form
+(see :mod:`pydca_tpu.parallel`): the only cross-sequence coupling is a sum, so
+gradients merge with a psum over the data mesh axis.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import score as score_mod
+from . import stats
+from .io.fasta import MSA, read_msa
+from .ops.lbfgs import lbfgs_minimize
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["PlmDCA", "PlmDCAException", "plm_loss_and_grad", "fit_plm"]
+
+
+class PlmDCAException(Exception):
+    """Errors specific to the plmDCA engine."""
+
+
+# --------------------------------------------------------------- loss function
+def _expand_couplings(j_flat: jax.Array, pidx: jax.Array, l: int, q: int) -> jax.Array:
+    """Expand flat (P, q, q) couplings to the full symmetric (L, L, q, q) tensor.
+
+    ``J_full[i, j] = J_pair(i,j)`` for i < j, its transpose for i > j, zeros on
+    the diagonal — exactly the symmetric-variant storage the reference uses
+    (``plmdca_numerics.cpp:501-517``: site i's conditional reads J_ji[s_j, a]
+    for j < i and J_ij[a, s_j] for j > i).
+    """
+    jt = j_flat.reshape(-1, q, q)
+    jg = jt[pidx]  # (L, L, q, q)
+    ii = jnp.arange(l)[:, None]
+    jj = jnp.arange(l)[None, :]
+    lower = (ii > jj)[:, :, None, None]
+    diag = (ii == jj)[:, :, None, None]
+    jfull = jnp.where(lower, jnp.swapaxes(jg, -1, -2), jg)
+    return jnp.where(diag, jnp.zeros_like(jfull), jfull)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "q"))
+def plm_loss(
+    theta: jax.Array,
+    msa: jax.Array,
+    weights: jax.Array,
+    pidx: jax.Array,
+    lambda_h: jax.Array,
+    lambda_j: jax.Array,
+    l: int,
+    q: int,
+) -> jax.Array:
+    """Regularized negative log-pseudolikelihood (symmetric-J variant).
+
+    ``loss = sum_i sum_n -w_n log P(s_ni | s_n,-i) + lambda_h ||h||^2
+    + lambda_J ||J_triu||^2``  (``plmdca_numerics.cpp:436-607``).
+    """
+    dtype = theta.dtype
+    h = theta[: l * q].reshape(l, q)
+    jfull = _expand_couplings(theta[l * q :], pidx, l, q)
+    jmat = jfull.transpose(0, 2, 1, 3).reshape(l * q, l * q)
+    x = jax.nn.one_hot(msa, q, dtype=dtype).reshape(-1, l * q)
+    logits = (
+        jax.lax.dot_general(
+            x,
+            jmat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+        ).reshape(-1, l, q)
+        + h[None]
+    )
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (N, L)
+    picked = jnp.take_along_axis(logits, msa[:, :, None].astype(jnp.int32), axis=-1)[
+        :, :, 0
+    ]
+    nll = jnp.sum(weights[:, None] * (lse - picked))
+    reg = lambda_h * jnp.sum(h * h) + lambda_j * jnp.sum(theta[l * q :] ** 2)
+    return nll + reg
+
+
+def plm_loss_and_grad(theta, msa, weights, pidx, lambda_h, lambda_j, l, q):
+    return jax.value_and_grad(plm_loss)(
+        theta, msa, weights, pidx, lambda_h, lambda_j, l, q
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("l", "q"))
+def init_params(msa: jax.Array, weights: jax.Array, l: int, q: int) -> jax.Array:
+    """Reference initialization: ``h_ia = log(weighted_count_ia + 1)`` centered
+    per site, couplings zero (``plmdca_numerics.cpp:207-249``)."""
+    fi = stats.single_site_freqs(msa, weights, q)  # (L, q)
+    meff = jnp.sum(weights)
+    h = jnp.log(fi * meff + 1.0)
+    h = h - jnp.mean(h, axis=1, keepdims=True)
+    p = l * (l - 1) // 2
+    return jnp.concatenate(
+        [h.reshape(-1), jnp.zeros(p * q * q, h.dtype)]
+    ).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("l", "q", "max_iterations", "m", "max_linesearch")
+)
+def fit_plm(
+    msa: jax.Array,
+    weights: jax.Array,
+    lambda_h: jax.Array,
+    lambda_j: jax.Array,
+    l: int,
+    q: int,
+    *,
+    max_iterations: int = 100,
+    m: int = 5,
+    epsilon: float = 1e-3,
+    ftol: float = 1e-4,
+    max_linesearch: int = 5,
+):
+    """Run the full plmDCA optimization; returns (theta, LBFGSResult-fields)."""
+    pidx = jnp.asarray(stats.pair_index_matrix(l))
+    theta0 = init_params(msa, weights, l, q)
+    fun = lambda t: plm_loss_and_grad(
+        t, msa, weights, pidx, lambda_h, lambda_j, l, q
+    )
+    res = lbfgs_minimize(
+        fun,
+        theta0,
+        m=m,
+        max_iterations=max_iterations,
+        epsilon=epsilon,
+        ftol=ftol,
+        max_linesearch=max_linesearch,
+    )
+    return res
+
+
+# ----------------------------------------------------------------- engine class
+class PlmDCA:
+    """Pseudolikelihood maximization DCA.
+
+    Mirrors the reference API (``pydca/plmdca/plmdca.py:47-104``): defaults
+    ``seqid=0.8``, ``lambda_h = lambda_J = 0.2*(L-1)``, ``max_iterations=100``.
+    ``num_threads`` is accepted for interface compatibility and ignored (the
+    TPU replaces OpenMP).
+    """
+
+    def __init__(
+        self,
+        msa_file,
+        biomolecule: str,
+        seqid: Optional[float] = None,
+        lambda_h: Optional[float] = None,
+        lambda_J: Optional[float] = None,
+        max_iterations: Optional[int] = None,
+        num_threads: Optional[int] = None,
+        verbose: bool = False,
+    ):
+        if isinstance(msa_file, MSA):
+            self.msa = msa_file
+        else:
+            self.msa = read_msa(msa_file, biomolecule)
+        self.__seqid = 0.8 if seqid is None else float(seqid)
+        if not 0.0 < self.__seqid <= 1.0:
+            raise PlmDCAException(f"invalid seqid {self.__seqid}")
+        l = self.msa.seqs_len
+        self.__lambda_h = 0.2 * (l - 1) if lambda_h is None else float(lambda_h)
+        self.__lambda_j = 0.2 * (l - 1) if lambda_J is None else float(lambda_J)
+        if self.__lambda_h < 0 or self.__lambda_j < 0:
+            raise PlmDCAException("lambda_h and lambda_J must be non-negative")
+        self.__max_iterations = 100 if max_iterations is None else int(max_iterations)
+        self.__verbose = bool(verbose)
+        self.__params: Optional[np.ndarray] = None
+        self.__weights = None
+        self.__refseq_mapping_dict = None
+        self.__fit_result = None
+
+    # ------------------------------------------------------------- properties
+    @property
+    def biomolecule(self):
+        return self.msa.alphabet.name
+
+    @property
+    def sequence_identity(self):
+        return self.__seqid
+
+    @property
+    def lambda_h(self):
+        return self.__lambda_h
+
+    @property
+    def lambda_J(self):
+        return self.__lambda_j
+
+    @property
+    def max_iterations(self):
+        return self.__max_iterations
+
+    @property
+    def sequences_len(self):
+        return self.msa.seqs_len
+
+    @property
+    def num_sequences(self):
+        return self.msa.num_seqs
+
+    @property
+    def num_site_states(self):
+        return self.msa.q
+
+    @property
+    def effective_num_sequences(self):
+        return float(jnp.sum(self.compute_seqs_weight()))
+
+    @property
+    def fit_result(self):
+        return self.__fit_result
+
+    # -------------------------------------------------------------- pipeline
+    def compute_seqs_weight(self) -> jax.Array:
+        if self.__weights is None:
+            self.__weights = stats.sequence_weights(
+                jnp.asarray(self.msa.data, jnp.int32),
+                self.__seqid,
+                self.msa.q,
+                dtype=jnp.float32,
+            )
+        return self.__weights
+
+    def get_fields_and_couplings_from_backend(self) -> np.ndarray:
+        """Optimize and return the flat float32 parameter vector in the
+        reference layout (fields then couplings; ``plmdca.py:202-243``)."""
+        if self.__params is None:
+            l, q = self.msa.seqs_len, self.msa.q
+            res = fit_plm(
+                jnp.asarray(self.msa.data, jnp.int32),
+                self.compute_seqs_weight(),
+                jnp.float32(self.__lambda_h),
+                jnp.float32(self.__lambda_j),
+                l,
+                q,
+                max_iterations=self.__max_iterations,
+            )
+            self.__fit_result = res
+            if self.__verbose:
+                logger.info(
+                    "plmDCA L-BFGS: %d iterations, fx=%.6f, |g|=%.3e, "
+                    "converged=%s, linesearch_failed=%s",
+                    int(res.num_iters),
+                    float(res.fx),
+                    float(res.gnorm),
+                    bool(res.converged),
+                    bool(res.linesearch_failed),
+                )
+            self.__params = np.asarray(res.x, dtype=np.float32)
+        return self.__params
+
+    # ------------------------------------------------------- param extraction
+    def get_fields_no_gap_state(self, params: Optional[np.ndarray] = None):
+        if params is None:
+            params = self.get_fields_and_couplings_from_backend()
+        l, q = self.msa.seqs_len, self.msa.q
+        return params[: l * q].reshape(l, q)[:, : q - 1].reshape(-1)
+
+    def get_couplings_no_gap_state(self, params: Optional[np.ndarray] = None):
+        """Flat (P*(q-1)^2,) couplings with gap states dropped
+        (``plmdca.py:246-268``)."""
+        if params is None:
+            params = self.get_fields_and_couplings_from_backend()
+        l, q = self.msa.seqs_len, self.msa.q
+        p = l * (l - 1) // 2
+        jt = params[l * q :].reshape(p, q, q)
+        return jt[:, : q - 1, : q - 1].reshape(-1)
+
+    def get_fields_and_couplings_no_gap_state(self, params=None):
+        return (
+            self.get_fields_no_gap_state(params),
+            self.get_couplings_no_gap_state(params),
+        )
+
+    def coupling_blocks(self) -> np.ndarray:
+        """(P, q-1, q-1) gap-excluded coupling blocks in pair order."""
+        l, q = self.msa.seqs_len, self.msa.q
+        p = l * (l - 1) // 2
+        params = self.get_fields_and_couplings_from_backend()
+        return params[l * q :].reshape(p, q, q)[:, : q - 1, : q - 1]
+
+    def shift_couplings(self, couplings_ij):
+        qm1 = self.msa.q - 1
+        return np.asarray(
+            score_mod.gauge_shift(jnp.asarray(couplings_ij).reshape(qm1, qm1))
+        )
+
+    # ----------------------------------------------------------------- scores
+    def _fn_scores(self) -> np.ndarray:
+        return np.asarray(
+            score_mod.frobenius_norms(jnp.asarray(self.coupling_blocks()))
+        )
+
+    def get_reg_single_site_freqs(self) -> jax.Array:
+        """fi with the DI path's hard-coded pseudocount 0.5 (``plmdca.py:638-648``)."""
+        fi = stats.single_site_freqs(
+            jnp.asarray(self.msa.data, jnp.int32),
+            self.compute_seqs_weight(),
+            self.msa.q,
+        )
+        return stats.regularize_fi(fi, self.msa.q, 0.5)
+
+    def _di_scores(self) -> np.ndarray:
+        return np.asarray(
+            score_mod.direct_information(
+                jnp.asarray(self.coupling_blocks()),
+                self.get_reg_single_site_freqs(),
+                self.msa.seqs_len,
+                self.msa.q,
+            )
+        )
+
+    def compute_sorted_FN(self, seqbackmapper=None):
+        res = score_mod.sorted_scores(self._fn_scores(), self.msa.seqs_len)
+        if seqbackmapper is not None:
+            res = self._map_scores(res, seqbackmapper)
+        return res
+
+    def compute_sorted_FN_APC(self, seqbackmapper=None):
+        apc = score_mod.apc(jnp.asarray(self._fn_scores()), self.msa.seqs_len)
+        res = score_mod.sorted_scores(np.asarray(apc), self.msa.seqs_len)
+        if seqbackmapper is not None:
+            res = self._map_scores(res, seqbackmapper)
+        return res
+
+    def compute_sorted_DI(self, seqbackmapper=None):
+        res = score_mod.sorted_scores(self._di_scores(), self.msa.seqs_len)
+        if seqbackmapper is not None:
+            res = self._map_scores(res, seqbackmapper)
+        return res
+
+    def compute_sorted_DI_APC(self, seqbackmapper=None):
+        apc = score_mod.apc(jnp.asarray(self._di_scores()), self.msa.seqs_len)
+        res = score_mod.sorted_scores(np.asarray(apc), self.msa.seqs_len)
+        if seqbackmapper is not None:
+            res = self._map_scores(res, seqbackmapper)
+        return res
+
+    # ----------------------------------------------------------- backmapping
+    def _map_scores(self, sorted_dca_scores, seqbackmapper):
+        mapping_dict = seqbackmapper.map_to_reference_sequence()
+        self.__refseq_mapping_dict = mapping_dict
+        mapped = []
+        for pair, sc in sorted_dca_scores:
+            if pair[0] in mapping_dict and pair[1] in mapping_dict:
+                mapped.append(((mapping_dict[pair[0]], mapping_dict[pair[1]]), sc))
+        mapped.sort(key=lambda k: k[1], reverse=True)
+        return mapped
+
+    # ------------------------------------------------------------ parameters
+    def compute_params(
+        self,
+        seqbackmapper=None,
+        ranked_by: Optional[str] = None,
+        linear_dist: Optional[int] = None,
+        num_site_pairs: Optional[int] = None,
+    ):
+        """Fields plus top-ranked gauge-shifted couplings (``plmdca.py:345-434``)."""
+        if ranked_by is None:
+            ranked_by = "fn_apc"
+        if linear_dist is None:
+            linear_dist = 4
+        ranked_by = ranked_by.strip().upper()
+        methods = {
+            "FN": self.compute_sorted_FN,
+            "FN_APC": self.compute_sorted_FN_APC,
+            "DI": self.compute_sorted_DI,
+            "DI_APC": self.compute_sorted_DI_APC,
+        }
+        if ranked_by not in methods:
+            raise PlmDCAException(
+                f"invalid ranking criterion {ranked_by}; choose from {tuple(methods)}"
+            )
+        dca_scores = methods[ranked_by](seqbackmapper=seqbackmapper)
+        l, q = self.msa.seqs_len, self.msa.q
+        qm1 = q - 1
+        fields = self.get_fields_no_gap_state()
+        couplings = self.get_couplings_no_gap_state()
+        if seqbackmapper is not None:
+            mapping_dict = {v: k for k, v in self.__refseq_mapping_dict.items()}
+        else:
+            mapping_dict = {i: i for i in range(l)}
+        if num_site_pairs is None:
+            num_site_pairs = (
+                len(seqbackmapper.ref_sequence)
+                if seqbackmapper is not None
+                else len(mapping_dict)
+            )
+        fields_mapped = [
+            (i, fields[qm1 * mapping_dict[i] : qm1 * mapping_dict[i] + qm1])
+            for i in mapping_dict.keys()
+        ]
+        ranked = []
+        count = 0
+        for pair, _ in dca_scores:
+            s1, s2 = pair
+            if abs(s1 - s2) > linear_dist:
+                count += 1
+                if count > num_site_pairs:
+                    break
+                i, j = mapping_dict[s1], mapping_dict[s2]
+                if i > j:
+                    raise PlmDCAException("site pair (i, j) should satisfy i < j")
+                k = stats.pair_index(i, j, l)
+                block = couplings[k * qm1 * qm1 : (k + 1) * qm1 * qm1]
+                ranked.append((pair, self.shift_couplings(block).reshape(qm1 * qm1)))
+        return tuple(fields_mapped), tuple(ranked)

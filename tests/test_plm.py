@@ -1,0 +1,149 @@
+"""plmDCA: loss/grad vs oracle, L-BFGS sanity, tiny end-to-end fit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from pydca_tpu import stats
+from pydca_tpu.ops.lbfgs import lbfgs_minimize
+from pydca_tpu.plm import PlmDCA, fit_plm, init_params, plm_loss_and_grad
+from pydca_tpu.alphabets import RNA
+from pydca_tpu.io.fasta import MSA
+
+
+def small_msa(n=60, l=8, q=5, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, q, size=(4, l))
+    msa = base[rng.integers(0, 4, size=n)]
+    mut = rng.random((n, l)) < 0.3
+    msa = np.where(mut, rng.integers(0, q, size=(n, l)), msa)
+    _, idx = np.unique(msa, axis=0, return_index=True)
+    return msa[np.sort(idx)].astype(np.int32)
+
+
+def test_plm_loss_and_grad_vs_oracle():
+    q = 5
+    msa = small_msa(q=q)
+    n, l = msa.shape
+    w = oracle.seq_weights(msa, 0.8)
+    rng = np.random.default_rng(0)
+    d = l * q + l * (l - 1) // 2 * q * q
+    theta = rng.normal(scale=0.1, size=d)
+    lam_h, lam_j = 1.4, 1.4
+
+    fx_ref, g_ref = oracle.plm_loss_and_grad(theta, msa, w, lam_h, lam_j, q)
+
+    pidx = jnp.asarray(stats.pair_index_matrix(l))
+    fx, g = plm_loss_and_grad(
+        jnp.asarray(theta),
+        jnp.asarray(msa),
+        jnp.asarray(w),
+        pidx,
+        jnp.float64(lam_h),
+        jnp.float64(lam_j),
+        l,
+        q,
+    )
+    assert float(fx) == pytest.approx(fx_ref, rel=1e-9)
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_lbfgs_quadratic():
+    # min 0.5 x'Ax - b'x with SPD A: solution A^{-1} b
+    rng = np.random.default_rng(1)
+    d = 20
+    a = rng.normal(size=(d, d))
+    A = a @ a.T + d * np.eye(d)
+    b = rng.normal(size=d)
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+
+    def fun(x):
+        g = Aj @ x - bj
+        return 0.5 * x @ Aj @ x - bj @ x, g
+
+    res = lbfgs_minimize(
+        fun, jnp.zeros(d), max_iterations=200, epsilon=1e-8, max_linesearch=20
+    )
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-5)
+    # Near float rounding the Armijo search can fail before the gradient
+    # criterion fires; like the reference (plmdcaBackend.cpp:82-90 treats
+    # LBFGSERR_ROUNDING_ERROR as completion) both count as successful.
+    assert bool(res.converged) or bool(res.linesearch_failed)
+
+
+def test_lbfgs_rosenbrock():
+    def fun(x):
+        val = (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+        g = jnp.array(
+            [
+                -2 * (1 - x[0]) - 400 * x[0] * (x[1] - x[0] ** 2),
+                200 * (x[1] - x[0] ** 2),
+            ]
+        )
+        return val, g
+
+    res = lbfgs_minimize(
+        fun,
+        jnp.array([-1.2, 1.0]),
+        max_iterations=500,
+        epsilon=1e-8,
+        max_linesearch=30,
+    )
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-4)
+
+
+def test_fit_plm_descends_and_is_symmetricly_regularized():
+    q = 5
+    msa = small_msa(q=q)
+    n, l = msa.shape
+    w = jnp.asarray(oracle.seq_weights(msa, 0.8), jnp.float32)
+    lam = jnp.float32(0.2 * (l - 1))
+    msa_j = jnp.asarray(msa)
+
+    theta0 = init_params(msa_j, w, l, q)
+    pidx = jnp.asarray(stats.pair_index_matrix(l))
+    f0, _ = plm_loss_and_grad(theta0, msa_j, w, pidx, lam, lam, l, q)
+
+    res = fit_plm(msa_j, w, lam, lam, l, q, max_iterations=50)
+    assert float(res.fx) < float(f0)
+    assert int(res.num_iters) > 0
+
+
+def test_init_params_matches_reference_formula():
+    q = 5
+    msa = small_msa(q=q)
+    l = msa.shape[1]
+    w = oracle.seq_weights(msa, 0.8)
+    theta0 = np.asarray(init_params(jnp.asarray(msa), jnp.asarray(w), l, q))
+    # oracle: h = log(weighted_count + 1) centered per site; J = 0
+    fi = oracle.single_site_freqs(msa, w, q)
+    h = np.log(fi * w.sum() + 1.0)
+    h -= h.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(theta0[: l * q], h.reshape(-1), rtol=1e-5, atol=1e-6)
+    assert np.all(theta0[l * q :] == 0)
+
+
+def test_plmdca_engine_end_to_end():
+    q = 5
+    data = small_msa(n=80, l=10, q=q, seed=11).astype(np.int8)
+    inst = PlmDCA(MSA(data=data, alphabet=RNA), "rna", max_iterations=30)
+    l = data.shape[1]
+    p = l * (l - 1) // 2
+
+    params = inst.get_fields_and_couplings_from_backend()
+    assert params.shape == (l * q + p * q * q,)
+    assert params.dtype == np.float32
+
+    fn = inst.compute_sorted_FN()
+    fn_apc = inst.compute_sorted_FN_APC()
+    di = inst.compute_sorted_DI()
+    assert len(fn) == len(fn_apc) == len(di) == p
+    for scores in (fn, fn_apc, di):
+        vals = [s for _, s in scores]
+        assert vals == sorted(vals, reverse=True)
+
+    fields, ranked = inst.compute_params(linear_dist=2, num_site_pairs=4)
+    assert len(fields) == l
+    assert 0 < len(ranked) <= 4
