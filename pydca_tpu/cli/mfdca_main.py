@@ -1,0 +1,238 @@
+"""``mfdca`` console entry point — mean-field DCA CLI.
+
+Mirrors the reference CLI surface (``pydca/mfdca_main.py``): subcommands
+``compute_di``, ``compute_fn``, ``compute_params``, ``compute_fi``,
+``compute_fij``, ``compute_fields``; flags ``--seqid --pseudocount
+--refseq_file --apc --ranked_by --linear_dist --num_site_pairs --output_dir
+--verbose``; output file naming ``MFDCA_{apc,raw}_{di,fn}_scores_<msa>.txt``
+(``mfdca_main.py:185-220``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..backmap import SequenceBackmapper
+from ..config_log import configure_logging
+from ..io import output as dca_utilities
+from ..meanfield import MeanFieldDCA
+
+DCA_COMPUTATION_SUBCOMMANDS = (
+    "compute_di",
+    "compute_fn",
+    "compute_params",
+    "compute_fi",
+    "compute_fij",
+    "compute_fields",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="mfdca",
+        description="Mean-field direct coupling analysis (TPU-native pydca_tpu)",
+    )
+    subparsers = parser.add_subparsers(dest="the_command", required=True)
+    for name, desc in [
+        ("compute_di", "compute direct-information DCA scores"),
+        ("compute_fn", "compute Frobenius-norm DCA scores"),
+        ("compute_params", "extract fields and ranked couplings"),
+        ("compute_fi", "compute (regularized) single-site frequencies"),
+        ("compute_fij", "compute (regularized) pair-site frequencies"),
+        ("compute_fields", "compute local fields"),
+    ]:
+        sp = subparsers.add_parser(name, help=desc)
+        sp.add_argument("biomolecule", choices=["protein", "PROTEIN", "rna", "RNA"])
+        sp.add_argument("msa_file")
+        sp.add_argument("--seqid", type=float, help="sequence identity threshold")
+        sp.add_argument("--pseudocount", type=float, help="relative pseudocount")
+        sp.add_argument("--refseq_file", help="FASTA file with reference sequence")
+        sp.add_argument("--output_dir", help="output directory")
+        sp.add_argument("--verbose", action="store_true")
+        sp.add_argument("--apc", action="store_true", help="average product correction")
+        if name == "compute_params":
+            sp.add_argument(
+                "--ranked_by",
+                choices=["FN", "FN_APC", "DI", "DI_APC", "fn", "fn_apc", "di", "di_apc"],
+            )
+            sp.add_argument("--linear_dist", type=int)
+            sp.add_argument("--num_site_pairs", type=int)
+    return parser
+
+
+def execute_from_command_line(
+    msa_file=None,
+    biomolecule=None,
+    seqid=None,
+    pseudocount=None,
+    the_command=None,
+    refseq_file=None,
+    verbose=False,
+    output_dir=None,
+    apc=False,
+    ranked_by=None,
+    linear_dist=None,
+    num_site_pairs=None,
+):
+    if verbose:
+        configure_logging()
+    if the_command not in DCA_COMPUTATION_SUBCOMMANDS:
+        raise SystemExit(f"unknown command {the_command}")
+
+    kwargs = {}
+    if pseudocount is not None:
+        kwargs["pseudocount"] = pseudocount
+    if seqid is not None:
+        kwargs["seqid"] = seqid
+    inst = MeanFieldDCA(msa_file, biomolecule, **kwargs)
+
+    seqbackmapper = None
+    if refseq_file:
+        seqbackmapper = SequenceBackmapper(
+            alignment_data=list(inst.msa.data),
+            refseq_file=refseq_file,
+            biomolecule=inst.biomolecule,
+        )
+    param_metadata = dca_utilities.mfdca_param_metadata(inst)
+    if not output_dir:
+        base, _ = os.path.splitext(os.path.basename(msa_file))
+        output_dir = "MFDCA_output_" + base
+    dca_utilities.create_directories(output_dir)
+
+    if the_command == "compute_di":
+        if apc:
+            sorted_di = inst.compute_sorted_DI_APC(seqbackmapper=seqbackmapper)
+            score_type = " MF DI average product corrected (APC)"
+            path = dca_utilities.get_dca_output_file_path(
+                output_dir, msa_file, prefix="MFDCA_apc_di_scores_", postfix=".txt"
+            )
+        else:
+            sorted_di = inst.compute_sorted_DI(seqbackmapper=seqbackmapper)
+            score_type = "raw DI"
+            path = dca_utilities.get_dca_output_file_path(
+                output_dir, msa_file, prefix="MFDCA_raw_di_scores_", postfix=".txt"
+            )
+        dca_utilities.write_sorted_dca_scores(
+            path, sorted_di, metadata=param_metadata, score_type=score_type
+        )
+
+    if the_command == "compute_fn":
+        if apc:
+            score_type = "MFDCA Frobenius norm, average product corrected (APC)"
+            sorted_fn = inst.compute_sorted_FN_APC(seqbackmapper=seqbackmapper)
+            path = dca_utilities.get_dca_output_file_path(
+                output_dir, msa_file, prefix="MFDCA_apc_fn_scores_", postfix=".txt"
+            )
+        else:
+            score_type = "MFDCA raw Frobenius norm"
+            sorted_fn = inst.compute_sorted_FN(seqbackmapper=seqbackmapper)
+            path = dca_utilities.get_dca_output_file_path(
+                output_dir, msa_file, prefix="MFDCA_raw_fn_scores_", postfix=".txt"
+            )
+        dca_utilities.write_sorted_dca_scores(
+            path, sorted_fn, metadata=param_metadata, score_type=score_type
+        )
+
+    if the_command == "compute_fields":
+        fields = inst.compute_fields()
+        metadata = param_metadata + dca_utilities.residue_repr_metadata(
+            inst.biomolecule
+        )
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix="fields_", postfix=".txt"
+        )
+        dca_utilities.write_fields_csv(path, sorted(fields.items()), metadata=metadata)
+
+    if the_command == "compute_params":
+        fields, couplings = inst.compute_params(
+            seqbackmapper=seqbackmapper,
+            ranked_by=ranked_by,
+            linear_dist=linear_dist,
+            num_site_pairs=num_site_pairs,
+        )
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix="fields_", postfix=".txt"
+        )
+        meta = list(param_metadata)
+        meta.append(
+            "#\tTotal number of sites whose fields are extracted: {}".format(
+                len(fields)
+            )
+        )
+        dca_utilities.write_fields_csv(path, fields, metadata=meta)
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix="couplings_", postfix=".txt"
+        )
+        meta = list(param_metadata)
+        meta.append(
+            "#\tTotal number of site pairs whose couplings are extracted: {}".format(
+                len(couplings)
+            )
+        )
+        meta.append(
+            "#\tDCA ranking method used: {}".format(
+                (ranked_by or "FN_APC").upper()
+            )
+        )
+        meta.append(
+            "#\tMinimum separation beteween site pairs in sequence: |i - j| > {}".format(
+                linear_dist if linear_dist is not None else 4
+            )
+        )
+        dca_utilities.write_couplings_csv(path, couplings, metadata=meta)
+
+    if the_command == "compute_fi":
+        fi = inst.get_reg_single_site_freqs()
+        metadata = param_metadata + dca_utilities.residue_repr_metadata(
+            inst.biomolecule
+        )
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix="fi_", postfix=".txt"
+        )
+        dca_utilities.write_single_site_freqs(
+            path,
+            fi,
+            seqs_len=inst.sequences_len,
+            num_site_states=inst.num_site_states,
+            metadata=metadata,
+        )
+
+    if the_command == "compute_fij":
+        fij = inst.get_reg_pair_site_freqs()
+        metadata = param_metadata + dca_utilities.residue_repr_metadata(
+            inst.biomolecule
+        )
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix="fij_", postfix=".txt"
+        )
+        dca_utilities.write_pair_site_freqs(
+            path,
+            fij,
+            seqs_len=inst.sequences_len,
+            num_site_states=inst.num_site_states,
+            metadata=metadata,
+        )
+
+
+def run_meanfield_dca(argv=None):
+    args = build_parser().parse_args(argv)
+    execute_from_command_line(
+        msa_file=args.msa_file,
+        biomolecule=args.biomolecule,
+        seqid=args.seqid,
+        pseudocount=args.pseudocount,
+        the_command=args.the_command,
+        refseq_file=args.refseq_file,
+        verbose=args.verbose,
+        output_dir=args.output_dir,
+        apc=args.apc,
+        ranked_by=getattr(args, "ranked_by", None),
+        linear_dist=getattr(args, "linear_dist", None),
+        num_site_pairs=getattr(args, "num_site_pairs", None),
+    )
+
+
+if __name__ == "__main__":
+    run_meanfield_dca()

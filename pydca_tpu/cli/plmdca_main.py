@@ -1,0 +1,192 @@
+"""``plmdca`` console entry point — pseudolikelihood-maximization DCA CLI.
+
+Mirrors the reference CLI (``pydca/plmdca_main.py``): subcommands
+``compute_fn``, ``compute_di``, ``compute_params``; adds ``--lambda_h
+--lambda_J --max_iterations --num_threads`` to the common flags; output naming
+``PLMDCA_{apc,raw}_{fn,di}_scores_<msa>.txt`` (``plmdca_main.py:195-222``).
+``--num_threads`` is accepted for compatibility; compute runs on the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..backmap import SequenceBackmapper
+from ..config_log import configure_logging
+from ..io import output as dca_utilities
+from ..plm import PlmDCA
+
+SUBCOMMANDS = ("compute_fn", "compute_di", "compute_params")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="plmdca",
+        description=(
+            "Pseudolikelihood-maximization direct coupling analysis "
+            "(TPU-native pydca_tpu)"
+        ),
+    )
+    subparsers = parser.add_subparsers(dest="the_command", required=True)
+    for name, desc in [
+        ("compute_fn", "compute Frobenius-norm DCA scores"),
+        ("compute_di", "compute direct-information DCA scores"),
+        ("compute_params", "extract fields and ranked couplings"),
+    ]:
+        sp = subparsers.add_parser(name, help=desc)
+        sp.add_argument("biomolecule", choices=["protein", "PROTEIN", "rna", "RNA"])
+        sp.add_argument("msa_file")
+        sp.add_argument("--seqid", type=float)
+        sp.add_argument("--lambda_h", type=float)
+        sp.add_argument("--lambda_J", type=float)
+        sp.add_argument("--max_iterations", type=int)
+        sp.add_argument("--num_threads", type=int, help="ignored (TPU backend)")
+        sp.add_argument("--refseq_file")
+        sp.add_argument("--output_dir")
+        sp.add_argument("--verbose", action="store_true")
+        sp.add_argument("--apc", action="store_true")
+        if name == "compute_params":
+            sp.add_argument(
+                "--ranked_by",
+                choices=["FN", "FN_APC", "DI", "DI_APC", "fn", "fn_apc", "di", "di_apc"],
+            )
+            sp.add_argument("--linear_dist", type=int)
+            sp.add_argument("--num_site_pairs", type=int)
+    return parser
+
+
+def execute_from_command_line(
+    msa_file=None,
+    biomolecule=None,
+    the_command=None,
+    seqid=None,
+    lambda_h=None,
+    lambda_J=None,
+    max_iterations=None,
+    num_threads=None,
+    refseq_file=None,
+    verbose=False,
+    output_dir=None,
+    apc=False,
+    ranked_by=None,
+    linear_dist=None,
+    num_site_pairs=None,
+):
+    if verbose:
+        configure_logging()
+    inst = PlmDCA(
+        msa_file,
+        biomolecule,
+        seqid=seqid,
+        lambda_h=lambda_h,
+        lambda_J=lambda_J,
+        max_iterations=max_iterations,
+        num_threads=num_threads,
+        verbose=verbose,
+    )
+    seqbackmapper = None
+    if refseq_file:
+        seqbackmapper = SequenceBackmapper(
+            alignment_data=list(inst.msa.data),
+            refseq_file=refseq_file,
+            biomolecule=inst.biomolecule,
+        )
+    param_metadata = dca_utilities.plmdca_param_metadata(inst)
+    if not output_dir:
+        base, _ = os.path.splitext(os.path.basename(msa_file))
+        output_dir = "PLMDCA_output_" + base
+    dca_utilities.create_directories(output_dir)
+
+    if the_command == "compute_fn":
+        if apc:
+            score_type = "PLMDCA Frobenius norm, average product corrected (APC)"
+            scores = inst.compute_sorted_FN_APC(seqbackmapper=seqbackmapper)
+            path = dca_utilities.get_dca_output_file_path(
+                output_dir, msa_file, prefix="PLMDCA_apc_fn_scores_", postfix=".txt"
+            )
+        else:
+            score_type = "PLMDCA Frobenius norm, non-APC (not average product corrected)"
+            scores = inst.compute_sorted_FN(seqbackmapper=seqbackmapper)
+            path = dca_utilities.get_dca_output_file_path(
+                output_dir, msa_file, prefix="PLMDCA_raw_fn_scores_", postfix=".txt"
+            )
+        dca_utilities.write_sorted_dca_scores(
+            path, scores, metadata=param_metadata, score_type=score_type
+        )
+
+    if the_command == "compute_di":
+        if apc:
+            score_type = "PLMDCA  DI scores, average product corrected (APC)"
+            scores = inst.compute_sorted_DI_APC(seqbackmapper=seqbackmapper)
+            path = dca_utilities.get_dca_output_file_path(
+                output_dir, msa_file, prefix="PLMDCA_apc_di_scores_", postfix=".txt"
+            )
+        else:
+            score_type = "PLMDCA DI scores, non-APC (not average product corrected)"
+            scores = inst.compute_sorted_DI(seqbackmapper=seqbackmapper)
+            path = dca_utilities.get_dca_output_file_path(
+                output_dir, msa_file, prefix="PLMDCA_raw_di_scores_", postfix=".txt"
+            )
+        dca_utilities.write_sorted_dca_scores(
+            path, scores, metadata=param_metadata, score_type=score_type
+        )
+
+    if the_command == "compute_params":
+        fields, couplings = inst.compute_params(
+            seqbackmapper=seqbackmapper,
+            ranked_by=ranked_by,
+            linear_dist=linear_dist,
+            num_site_pairs=num_site_pairs,
+        )
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix="fields_", postfix=".txt"
+        )
+        meta = list(param_metadata)
+        meta.append(
+            "#\tTotal number of sites whose fields are extracted: {}".format(
+                len(fields)
+            )
+        )
+        dca_utilities.write_fields_csv(path, fields, metadata=meta)
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix="couplings_", postfix=".txt"
+        )
+        meta = list(param_metadata)
+        meta.append(
+            "#\tTotal number of site pairs whose couplings are extracted: {}".format(
+                len(couplings)
+            )
+        )
+        meta.append("#\tDCA ranking method used: {}".format((ranked_by or "FN_APC").upper()))
+        meta.append(
+            "#\tMinimum separation beteween site pairs in sequence: |i - j| > {}".format(
+                linear_dist if linear_dist is not None else 4
+            )
+        )
+        dca_utilities.write_couplings_csv(path, couplings, metadata=meta)
+
+
+def run_plm_dca(argv=None):
+    args = build_parser().parse_args(argv)
+    execute_from_command_line(
+        msa_file=args.msa_file,
+        biomolecule=args.biomolecule,
+        the_command=args.the_command,
+        seqid=args.seqid,
+        lambda_h=args.lambda_h,
+        lambda_J=args.lambda_J,
+        max_iterations=args.max_iterations,
+        num_threads=args.num_threads,
+        refseq_file=args.refseq_file,
+        verbose=args.verbose,
+        output_dir=args.output_dir,
+        apc=args.apc,
+        ranked_by=getattr(args, "ranked_by", None),
+        linear_dist=getattr(args, "linear_dist", None),
+        num_site_pairs=getattr(args, "num_site_pairs", None),
+    )
+
+
+if __name__ == "__main__":
+    run_plm_dca()

@@ -30,7 +30,14 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LBFGSResult", "lbfgs_minimize"]
+__all__ = [
+    "LBFGSResult",
+    "LBFGSState",
+    "lbfgs_init",
+    "lbfgs_steps",
+    "lbfgs_minimize",
+    "result_from_state",
+]
 
 
 class LBFGSResult(NamedTuple):
@@ -42,7 +49,15 @@ class LBFGSResult(NamedTuple):
     linesearch_failed: jax.Array
 
 
-class _State(NamedTuple):
+class LBFGSState(NamedTuple):
+    """Explicit, serializable optimizer state (a pytree of arrays).
+
+    Exposing the state lets callers run the optimization as a sequence of
+    short device programs (host-chunked), checkpoint/resume long runs, and
+    log per-chunk progress — the aux subsystems the reference lacks entirely
+    (SURVEY.md section 5: checkpoint/resume "none").
+    """
+
     x: jax.Array
     f: jax.Array
     g: jax.Array
@@ -53,6 +68,8 @@ class _State(NamedTuple):
     done: jax.Array
     converged: jax.Array
     ls_failed: jax.Array
+
+
 
 
 def _two_loop(g, s_hist, y_hist, rho, k, m):
@@ -90,29 +107,18 @@ def _two_loop(g, s_hist, y_hist, rho, k, m):
     return -r
 
 
-def lbfgs_minimize(
+def lbfgs_init(
     fun: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
     x0: jax.Array,
     *,
     m: int = 5,
-    max_iterations: int = 100,
     epsilon: float = 1e-3,
-    ftol: float = 1e-4,
-    max_linesearch: int = 5,
-    step_shrink: float = 0.5,
-) -> LBFGSResult:
-    """Minimize ``fun`` (returning ``(value, grad)``) from ``x0``.
-
-    ``fun`` must be jittable; the optimizer itself is traced into a single
-    ``lax.while_loop`` program.  ``max_iterations`` counts outer L-BFGS
-    iterations as in the reference's ``max_iterations`` knob (``plmdca.py:72``).
-    """
+) -> LBFGSState:
+    """Evaluate ``fun`` at ``x0`` and build the initial optimizer state."""
     dtype = x0.dtype
     d = x0.shape[0]
-
     f0, g0 = fun(x0)
-
-    init = _State(
+    init = LBFGSState(
         x=x0,
         f=f0,
         g=g0,
@@ -124,18 +130,38 @@ def lbfgs_minimize(
         converged=jnp.array(False),
         ls_failed=jnp.array(False),
     )
-
     # immediate convergence check (libLBFGS does this before iterating)
     gnorm0 = jnp.linalg.norm(g0)
     xnorm0 = jnp.maximum(jnp.linalg.norm(x0), 1.0)
-    init = init._replace(
+    return init._replace(
         converged=gnorm0 / xnorm0 <= epsilon, done=gnorm0 / xnorm0 <= epsilon
     )
 
-    def cond(st: _State):
-        return jnp.logical_and(~st.done, st.k < max_iterations)
 
-    def body(st: _State):
+def lbfgs_steps(
+    fun: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
+    state: LBFGSState,
+    num_steps: int,
+    *,
+    epsilon: float = 1e-3,
+    ftol: float = 1e-4,
+    max_linesearch: int = 5,
+    step_shrink: float = 0.5,
+) -> LBFGSState:
+    """Advance the optimizer by up to ``num_steps`` L-BFGS iterations.
+
+    One traced ``lax.while_loop``; call repeatedly from the host to chunk a
+    long optimization into short device programs (progress logging,
+    checkpointing, robustness to preempted/long-running device calls).
+    """
+    m = state.s_hist.shape[0]
+    dtype = state.x.dtype
+    k_start = state.k
+
+    def cond(st: LBFGSState):
+        return jnp.logical_and(~st.done, st.k < k_start + num_steps)
+
+    def body(st: LBFGSState):
         direction = _two_loop(st.g, st.s_hist, st.y_hist, st.rho, st.k, m)
         dnorm = jnp.linalg.norm(direction)
         dg0 = jnp.vdot(st.g, direction)
@@ -190,7 +216,7 @@ def lbfgs_minimize(
             gnorm = jnp.linalg.norm(gnew)
             xnorm = jnp.maximum(jnp.linalg.norm(xnew), 1.0)
             conv = gnorm / xnorm <= epsilon
-            return _State(
+            return LBFGSState(
                 x=xnew,
                 f=fnew,
                 g=gnew,
@@ -205,12 +231,46 @@ def lbfgs_minimize(
 
         return jax.lax.cond(accepted, on_success, on_fail, st)
 
-    final = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def result_from_state(state: LBFGSState) -> LBFGSResult:
     return LBFGSResult(
-        x=final.x,
-        fx=final.f,
-        gnorm=jnp.linalg.norm(final.g),
-        num_iters=final.k,
-        converged=final.converged,
-        linesearch_failed=final.ls_failed,
+        x=state.x,
+        fx=state.f,
+        gnorm=jnp.linalg.norm(state.g),
+        num_iters=state.k,
+        converged=state.converged,
+        linesearch_failed=state.ls_failed,
     )
+
+
+def lbfgs_minimize(
+    fun: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
+    x0: jax.Array,
+    *,
+    m: int = 5,
+    max_iterations: int = 100,
+    epsilon: float = 1e-3,
+    ftol: float = 1e-4,
+    max_linesearch: int = 5,
+    step_shrink: float = 0.5,
+) -> LBFGSResult:
+    """Minimize ``fun`` (returning ``(value, grad)``) from ``x0``.
+
+    Single-program form: init + one ``lax.while_loop`` over all iterations.
+    ``max_iterations`` counts outer L-BFGS iterations as in the reference's
+    knob (``plmdca.py:72``).  For host-chunked execution use
+    :func:`lbfgs_init` / :func:`lbfgs_steps`.
+    """
+    state = lbfgs_init(fun, x0, m=m, epsilon=epsilon)
+    state = lbfgs_steps(
+        fun,
+        state,
+        max_iterations,
+        epsilon=epsilon,
+        ftol=ftol,
+        max_linesearch=max_linesearch,
+        step_shrink=step_shrink,
+    )
+    return result_from_state(state)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -41,7 +42,7 @@ import numpy as np
 from . import score as score_mod
 from . import stats
 from .io.fasta import MSA, read_msa
-from .ops.lbfgs import lbfgs_minimize
+from .ops.lbfgs import lbfgs_init, lbfgs_steps, result_from_state
 
 logger = logging.getLogger(__name__)
 
@@ -130,9 +131,21 @@ def init_params(msa: jax.Array, weights: jax.Array, l: int, q: int) -> jax.Array
     ).astype(jnp.float32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("l", "q", "max_iterations", "m", "max_linesearch")
-)
+@functools.partial(jax.jit, static_argnames=("l", "q", "num_steps"))
+def _plm_lbfgs_steps(
+    state, msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, num_steps: int
+):
+    fun = lambda t: plm_loss_and_grad(t, msa, weights, pidx, lambda_h, lambda_j, l, q)
+    return lbfgs_steps(fun, state, num_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "q", "m"))
+def _plm_lbfgs_state0(msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, m: int):
+    theta0 = init_params(msa, weights, l, q)
+    fun = lambda t: plm_loss_and_grad(t, msa, weights, pidx, lambda_h, lambda_j, l, q)
+    return lbfgs_init(fun, theta0, m=m)
+
+
 def fit_plm(
     msa: jax.Array,
     weights: jax.Array,
@@ -143,26 +156,59 @@ def fit_plm(
     *,
     max_iterations: int = 100,
     m: int = 5,
-    epsilon: float = 1e-3,
-    ftol: float = 1e-4,
-    max_linesearch: int = 5,
+    chunk_size: Optional[int] = 10,
+    progress_fn=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 50,
 ):
-    """Run the full plmDCA optimization; returns (theta, LBFGSResult-fields)."""
+    """Run the full plmDCA optimization; returns an LBFGSResult.
+
+    By default the optimization runs as a sequence of short device programs
+    of ``chunk_size`` L-BFGS iterations each, with the explicit optimizer
+    state held between calls: this enables per-chunk progress reporting,
+    periodic checkpointing of the optimizer state (resume a long run from
+    ``checkpoint_path``), and robustness on preemptible/tunneled devices.
+    Set ``chunk_size=None`` for one single fully-fused device program.
+    """
     pidx = jnp.asarray(stats.pair_index_matrix(l))
-    theta0 = init_params(msa, weights, l, q)
-    fun = lambda t: plm_loss_and_grad(
-        t, msa, weights, pidx, lambda_h, lambda_j, l, q
-    )
-    res = lbfgs_minimize(
-        fun,
-        theta0,
-        m=m,
-        max_iterations=max_iterations,
-        epsilon=epsilon,
-        ftol=ftol,
-        max_linesearch=max_linesearch,
-    )
-    return res
+    state = None
+    done_iters = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        state = _load_state(checkpoint_path)
+        done_iters = int(state.k)
+        logger.info("resumed plmDCA optimizer state at iteration %d", done_iters)
+    if state is None:
+        state = _plm_lbfgs_state0(msa, weights, pidx, lambda_h, lambda_j, l, q, m)
+
+    step = max_iterations if chunk_size is None else int(chunk_size)
+    last_saved = done_iters
+    while done_iters < max_iterations and not bool(state.done):
+        todo = min(step, max_iterations - done_iters)
+        state = _plm_lbfgs_steps(
+            state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo
+        )
+        done_iters = int(state.k)
+        if progress_fn is not None:
+            progress_fn(state)
+        if checkpoint_path is not None and (
+            done_iters - last_saved >= checkpoint_every or bool(state.done)
+        ):
+            _save_state(checkpoint_path, state)
+            last_saved = done_iters
+    return result_from_state(state)
+
+
+def _save_state(path: str, state) -> None:
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    np.savez(path, **{k: np.asarray(v) for k, v in state._asdict().items()})
+
+
+def _load_state(path: str):
+    from .ops.lbfgs import LBFGSState
+
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return LBFGSState(**{k: jnp.asarray(z[k]) for k in LBFGSState._fields})
 
 
 # ----------------------------------------------------------------- engine class
@@ -185,6 +231,7 @@ class PlmDCA:
         max_iterations: Optional[int] = None,
         num_threads: Optional[int] = None,
         verbose: bool = False,
+        checkpoint_path: Optional[str] = None,
     ):
         if isinstance(msa_file, MSA):
             self.msa = msa_file
@@ -200,6 +247,7 @@ class PlmDCA:
             raise PlmDCAException("lambda_h and lambda_J must be non-negative")
         self.__max_iterations = 100 if max_iterations is None else int(max_iterations)
         self.__verbose = bool(verbose)
+        self.__checkpoint_path = checkpoint_path
         self.__params: Optional[np.ndarray] = None
         self.__weights = None
         self.__refseq_mapping_dict = None
@@ -262,6 +310,16 @@ class PlmDCA:
         reference layout (fields then couplings; ``plmdca.py:202-243``)."""
         if self.__params is None:
             l, q = self.msa.seqs_len, self.msa.q
+
+            def _progress(state):
+                if self.__verbose:
+                    logger.info(
+                        "plmDCA iteration %d: fx=%.6f |g|=%.4e",
+                        int(state.k),
+                        float(state.f),
+                        float(jnp.linalg.norm(state.g)),
+                    )
+
             res = fit_plm(
                 jnp.asarray(self.msa.data, jnp.int32),
                 self.compute_seqs_weight(),
@@ -270,6 +328,8 @@ class PlmDCA:
                 l,
                 q,
                 max_iterations=self.__max_iterations,
+                progress_fn=_progress,
+                checkpoint_path=self.__checkpoint_path,
             )
             self.__fit_result = res
             if self.__verbose:

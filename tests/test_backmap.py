@@ -1,0 +1,138 @@
+"""Aligner + backmapper + trimmer characterization tests."""
+
+import numpy as np
+import pytest
+
+from pydca_tpu import align as align_mod
+from pydca_tpu import matrices
+from pydca_tpu.backmap import SequenceBackmapper
+from pydca_tpu.trim import MSATrimmer
+
+from conftest import RF00059, RF00059_REF, PF02826, PF02826_REF, RF00167
+
+
+def _score_pair(a, b, biomolecule, letters):
+    sub = matrices.submatrix_for(biomolecule, letters)
+    go, ge = matrices.gap_penalties_for(biomolecule)
+    from pydca_tpu.alphabets import get_alphabet
+
+    alph = get_alphabet(biomolecule)
+    s, *_ = align_mod.local_align(
+        alph.encode_str(a), alph.encode_str(b), sub, go, ge
+    )
+    return s
+
+
+def test_local_align_simple_match():
+    # identical RNA sequences: score = 5 * len
+    assert _score_pair("ACGUACGU", "ACGUACGU", "rna", "ACGU") == 40
+
+
+def test_local_align_substring():
+    # local alignment finds the embedded substring
+    assert _score_pair("ACGU", "GGGACGUGGG", "rna", "ACGU") == 20
+
+
+def test_local_align_with_gap():
+    # ACGU vs ACGGU: best local has one gap (open -8, extend 0)
+    s = _score_pair("ACGUACGU", "ACGUXACGU".replace("X", "G"), "rna", "ACGU")
+    assert s == 40 - 8
+
+
+def test_local_align_path_consistency():
+    from pydca_tpu.alphabets import RNA
+
+    sub = matrices.submatrix_for("rna", "ACGU")
+    a = RNA.encode_str("ACGGUACGU")
+    b = RNA.encode_str("CCACGUACGUAA")
+    score, a0, b0, path = align_mod.local_align(a, b, sub, -8.0, 0.0)
+    sa, sb = align_mod.aligned_strings("ACGGUACGU", "CCACGUACGUAA", a0, b0, path)
+    assert len(sa) == len(sb) == len(path)
+    # recompute score from the rendered alignment
+    s = 0.0
+    in_gap = False
+    for ca, cb in zip(sa, sb):
+        if ca == "-" or cb == "-":
+            s += 0.0 if in_gap else -8.0
+            in_gap = True
+        else:
+            s += 5 if ca == cb else -4
+            in_gap = False
+    assert s == score
+
+
+def test_batch_scores_match_single():
+    from pydca_tpu.alphabets import RNA
+
+    rng = np.random.default_rng(0)
+    sub = matrices.submatrix_for("rna", "ACGU")
+    ref = rng.integers(0, 4, size=25).astype(np.int32)
+    temps = []
+    lengths = []
+    for _ in range(12):
+        ln = int(rng.integers(8, 30))
+        temps.append(rng.integers(0, 4, size=ln).astype(np.int32))
+        lengths.append(ln)
+    wmax = max(lengths)
+    padded = np.full((len(temps), wmax), -1, dtype=np.int32)
+    for k, t in enumerate(temps):
+        padded[k, : len(t)] = t
+    batch = align_mod.batch_local_align_scores(ref, padded, sub, -8.0, 0.0, -1)
+    for k, t in enumerate(temps):
+        s, *_ = align_mod.local_align(ref, t, sub, -8.0, 0.0)
+        assert batch[k] == pytest.approx(s), k
+
+
+def test_align_subsequences_gap_reinsertion():
+    # template MSA portion has gaps; they must be inserted into the ref portion
+    out = SequenceBackmapper.align_subsequences("ACGU", "AC--GU", 4)
+    assert out == "AC--GU"
+
+
+def test_backmapper_rna(rf00059_path):
+    bm = SequenceBackmapper(
+        msa_file=rf00059_path, refseq_file=RF00059_REF, biomolecule="rna"
+    )
+    mapping = bm.map_to_reference_sequence()
+    assert len(mapping) > 1  # the reference test asserts this
+    # keys are MSA columns, values refseq positions
+    L_msa = len(bm.alignment[0])
+    L_ref = len(bm.ref_sequence)
+    for col, pos in mapping.items():
+        assert 0 <= col < L_msa
+        assert 0 <= pos < L_ref
+    # mapping must be strictly increasing in both coordinates
+    cols = sorted(mapping)
+    vals = [mapping[c] for c in cols]
+    assert vals == sorted(vals)
+    assert len(set(vals)) == len(vals)
+
+
+def test_backmapper_protein(pf02826_path):
+    bm = SequenceBackmapper(
+        msa_file=pf02826_path, refseq_file=PF02826_REF, biomolecule="protein"
+    )
+    mapping = bm.map_to_reference_sequence()
+    assert len(mapping) > 1
+
+
+def test_trimmer_by_gap_size(rf00059_path):
+    # already trimmed at 50% threshold upstream -> nothing above 0.5
+    trimmer = MSATrimmer(rf00059_path, biomolecule="rna", max_gap=0.5)
+    cols = trimmer.trim_by_gap_size()
+    gaps = trimmer.compute_msa_columns_gap_size()
+    for c in cols:
+        assert gaps[c] > 0.5
+    strict = MSATrimmer(rf00059_path, biomolecule="rna", max_gap=0.05)
+    assert len(strict.trim_by_gap_size()) > len(cols)
+
+
+def test_trimmer_by_refseq(rf00059_path):
+    trimmer = MSATrimmer(
+        rf00059_path, biomolecule="rna", refseq_file=RF00059_REF
+    )
+    cols = trimmer.trim_by_refseq(remove_all_gaps=True)
+    trimmed = trimmer.get_msa_trimmed_by_refseq(remove_all_gaps=True)
+    orig_len = len(trimmer.alignment_sequences[0])
+    assert all(len(s) == orig_len - len(cols) for _, s in trimmed)
+    assert len(trimmed) == len(trimmer.alignment_sequences)

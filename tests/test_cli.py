@@ -1,0 +1,88 @@
+"""CLI smoke tests: commands write reference-format output files."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pydca_tpu.cli.mfdca_main import run_meanfield_dca
+from pydca_tpu.cli.plmdca_main import run_plm_dca
+
+
+@pytest.fixture()
+def tiny_msa(tmp_path):
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 5, size=(3, 12))
+    rows = base[rng.integers(0, 3, size=40)]
+    mut = rng.random(rows.shape) < 0.3
+    rows = np.where(mut, rng.integers(0, 5, size=rows.shape), rows)
+    letters = "ACGU-"
+    path = tmp_path / "tiny.fa"
+    with open(path, "w") as fh:
+        for k, r in enumerate(rows):
+            fh.write(f">s{k}\n" + "".join(letters[int(x)] for x in r) + "\n")
+    return str(path)
+
+
+def _read_scores(path):
+    pairs = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            i, j, s = line.split()
+            pairs.append(((int(i), int(j)), float(s)))
+    return pairs
+
+
+def test_mfdca_compute_fn_apc(tiny_msa, tmp_path):
+    out = str(tmp_path / "out")
+    run_meanfield_dca(
+        ["compute_fn", "rna", tiny_msa, "--apc", "--output_dir", out]
+    )
+    files = os.listdir(out)
+    assert files == ["MFDCA_apc_fn_scores_tiny.txt"]
+    scores = _read_scores(os.path.join(out, files[0]))
+    assert len(scores) == 12 * 11 // 2
+    # 1-indexed, i < j, descending
+    for (i, j), _ in scores:
+        assert 1 <= i < j <= 12
+    vals = [s for _, s in scores]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_mfdca_compute_di_and_freqs(tiny_msa, tmp_path):
+    out = str(tmp_path / "out2")
+    run_meanfield_dca(["compute_di", "rna", tiny_msa, "--output_dir", out])
+    run_meanfield_dca(["compute_fi", "rna", tiny_msa, "--output_dir", out])
+    run_meanfield_dca(["compute_fij", "rna", tiny_msa, "--output_dir", out])
+    run_meanfield_dca(["compute_params", "rna", tiny_msa, "--output_dir", out,
+                       "--linear_dist", "2"])
+    names = sorted(os.listdir(out))
+    assert names == [
+        "MFDCA_raw_di_scores_tiny.txt",
+        "couplings_tiny.txt",
+        "fi_tiny.txt",
+        "fields_tiny.txt",
+        "fij_tiny.txt",
+    ]
+    # fi file: L*q rows of i,a,freq
+    rows = [
+        line for line in open(os.path.join(out, "fi_tiny.txt"))
+        if not line.startswith("#")
+    ]
+    assert len(rows) == 12 * 5
+
+
+def test_plmdca_compute_fn_apc(tiny_msa, tmp_path):
+    out = str(tmp_path / "out3")
+    run_plm_dca(
+        [
+            "compute_fn", "rna", tiny_msa, "--apc", "--output_dir", out,
+            "--max_iterations", "25",
+        ]
+    )
+    files = os.listdir(out)
+    assert files == ["PLMDCA_apc_fn_scores_tiny.txt"]
+    scores = _read_scores(os.path.join(out, files[0]))
+    assert len(scores) == 12 * 11 // 2
