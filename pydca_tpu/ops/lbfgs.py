@@ -183,7 +183,14 @@ def lbfgs_steps(
             xnew = st.x + step * direction
             fnew, gnew = fun(xnew)
             ok = fnew <= st.f + ftol * step * dg0
-            next_step = jnp.where(ok, step, step * step_shrink)
+            # quadratic interpolation on rejection (clipped to [0.1, 0.5]*step;
+            # MoreThuente does cubic — quadratic keeps the same contraction
+            # guarantees at a fraction of the bookkeeping)
+            denom = fnew - st.f - dg0 * step
+            quad = -0.5 * dg0 * step * step / jnp.where(denom == 0, 1.0, denom)
+            shrunk = jnp.clip(quad, 0.1 * step, step_shrink * step)
+            shrunk = jnp.where(jnp.isfinite(shrunk), shrunk, step_shrink * step)
+            next_step = jnp.where(ok, step, shrunk)
             return (next_step, fnew, gnew, xnew, ok, trials + 1)
 
         step, fnew, gnew, xnew, accepted, trials = jax.lax.while_loop(

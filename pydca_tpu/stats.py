@@ -44,6 +44,17 @@ __all__ = [
 
 _DEFAULT_BLOCK = 2048
 
+# Pallas kernels are used automatically on TPU backends for large inputs;
+# set to False to force the plain-XLA paths (used by parity tests).
+USE_PALLAS = True
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
 
 def one_hot_msa(msa: jax.Array, q: int, dtype=jnp.float32) -> jax.Array:
     """One-hot encode an ``(N, L)`` int MSA to ``(N, L, q)``."""
@@ -102,9 +113,25 @@ def sequence_weights(
     n, l = msa.shape
     blk = min(block, max(8, n))
     # Strict threshold on integer identity counts: iid/L > seqid  <=>  iid > seqid*L
-    thr = jnp.float32(float(seqid) * l)
-    sims = _sequence_weights_impl(msa, thr, q, blk)
+    thr = float(seqid) * l
+    # Crossover measured on v5e: XLA wins below ~10k sequences (the Pallas
+    # launch has ~10 ms fixed cost), Pallas wins 1.6-3.3x above it.
+    if USE_PALLAS and _on_tpu() and n >= 8192:
+        from .ops.pallas_kernels import identity_counts
+
+        sims = _pallas_counts(msa, thr, q)
+    else:
+        sims = _sequence_weights_impl(msa, jnp.float32(thr), q, blk)
     return (1.0 / sims.astype(dtype)).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q",))
+def _pallas_counts(msa: jax.Array, thr: float, q: int):
+    from .ops.pallas_kernels import identity_counts
+
+    n, l = msa.shape
+    onehot = jax.nn.one_hot(msa, q, dtype=jnp.int8).reshape(n, l * q)
+    return identity_counts(onehot, thr)
 
 
 # ------------------------------------------------------------------ frequencies
