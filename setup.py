@@ -20,6 +20,7 @@ setup(
             "mfdca=pydca_tpu.cli.mfdca_main:run_meanfield_dca",
             "plmdca=pydca_tpu.cli.plmdca_main:run_plm_dca",
             "pydca=pydca_tpu.cli.main:run_pydca",
+            "a2m2aln=pydca_tpu.extras.a2m2aln:run_a2m2aln",
         ],
     },
 )
