@@ -24,7 +24,10 @@ LOGGING_CONFIG = {
         },
     },
     "loggers": {
-        "": {"handlers": ["console"], "level": "DEBUG", "propagate": True},
+        # Scope DEBUG to this package; a root-level DEBUG would also surface
+        # jax's internal compilation logs on every CLI --verbose run.
+        "pydca_tpu": {"handlers": ["console"], "level": "DEBUG", "propagate": False},
+        "": {"handlers": ["console"], "level": "WARNING", "propagate": True},
     },
 }
 

@@ -24,6 +24,7 @@ import numpy as np
 from . import score as score_mod
 from . import stats
 from .io.fasta import MSA, read_msa
+from .profiling import StageTimers
 
 logger = logging.getLogger(__name__)
 
@@ -114,6 +115,7 @@ class MeanFieldDCA:
         self.__gram: Optional[jax.Array] = None
         self.__couplings: Optional[jax.Array] = None
         self.__refseq_mapping_dict = None
+        self.timers = StageTimers()
 
     # ------------------------------------------------------------- properties
     @property
@@ -147,12 +149,15 @@ class MeanFieldDCA:
     # ------------------------------------------------------------ statistics
     def get_sequences_weight(self) -> jax.Array:
         if self.__weights is None:
-            self.__weights = stats.sequence_weights(
-                jnp.asarray(self.msa.data, jnp.int32),
-                self.__seqid,
-                self.msa.q,
-                dtype=self.dtype,
-            )
+            with self.timers.stage("weights"):
+                self.__weights = stats.sequence_weights(
+                    jnp.asarray(self.msa.data, jnp.int32),
+                    self.__seqid,
+                    self.msa.q,
+                    dtype=self.dtype,
+                )
+                self.__weights.block_until_ready()
+            self.timers.add_rate("weights", self.msa.num_seqs, "seqs")
         return self.__weights
 
     def _get_gram(self) -> jax.Array:
@@ -203,9 +208,11 @@ class MeanFieldDCA:
         Cholesky solve is used here (falls back to LU if factorization fails).
         """
         if self.__couplings is None:
-            c = self.construct_corr_mat().astype(self.dtype)
-            couplings = -_spd_inverse(c)
-            self.__couplings = couplings
+            with self.timers.stage("couplings"):
+                c = self.construct_corr_mat().astype(self.dtype)
+                couplings = -_spd_inverse(c)
+                couplings.block_until_ready()
+                self.__couplings = couplings
         return self.__couplings
 
     def coupling_blocks(self) -> jax.Array:

@@ -43,6 +43,7 @@ from . import score as score_mod
 from . import stats
 from .io.fasta import MSA, read_msa
 from .ops.lbfgs import lbfgs_init, lbfgs_steps, result_from_state
+from .profiling import StageTimers
 
 logger = logging.getLogger(__name__)
 
@@ -252,6 +253,7 @@ class PlmDCA:
         self.__weights = None
         self.__refseq_mapping_dict = None
         self.__fit_result = None
+        self.timers = StageTimers()
 
     # ------------------------------------------------------------- properties
     @property
@@ -297,12 +299,15 @@ class PlmDCA:
     # -------------------------------------------------------------- pipeline
     def compute_seqs_weight(self) -> jax.Array:
         if self.__weights is None:
-            self.__weights = stats.sequence_weights(
-                jnp.asarray(self.msa.data, jnp.int32),
-                self.__seqid,
-                self.msa.q,
-                dtype=jnp.float32,
-            )
+            with self.timers.stage("weights"):
+                self.__weights = stats.sequence_weights(
+                    jnp.asarray(self.msa.data, jnp.int32),
+                    self.__seqid,
+                    self.msa.q,
+                    dtype=jnp.float32,
+                )
+                self.__weights.block_until_ready()
+            self.timers.add_rate("weights", self.msa.num_seqs, "seqs")
         return self.__weights
 
     def get_fields_and_couplings_from_backend(self) -> np.ndarray:
@@ -320,17 +325,21 @@ class PlmDCA:
                         float(jnp.linalg.norm(state.g)),
                     )
 
-            res = fit_plm(
-                jnp.asarray(self.msa.data, jnp.int32),
-                self.compute_seqs_weight(),
-                jnp.float32(self.__lambda_h),
-                jnp.float32(self.__lambda_j),
-                l,
-                q,
-                max_iterations=self.__max_iterations,
-                progress_fn=_progress,
-                checkpoint_path=self.__checkpoint_path,
-            )
+            weights = self.compute_seqs_weight()
+            with self.timers.stage("fit"):
+                res = fit_plm(
+                    jnp.asarray(self.msa.data, jnp.int32),
+                    weights,
+                    jnp.float32(self.__lambda_h),
+                    jnp.float32(self.__lambda_j),
+                    l,
+                    q,
+                    max_iterations=self.__max_iterations,
+                    progress_fn=_progress,
+                    checkpoint_path=self.__checkpoint_path,
+                )
+                res.x.block_until_ready()
+            self.timers.add_rate("fit", int(res.num_iters), "iters")
             self.__fit_result = res
             if self.__verbose:
                 logger.info(
@@ -342,6 +351,7 @@ class PlmDCA:
                     bool(res.converged),
                     bool(res.linesearch_failed),
                 )
+                logger.info("plmDCA stage timings:\n%s", self.timers.summary())
             self.__params = np.asarray(res.x, dtype=np.float32)
         return self.__params
 
