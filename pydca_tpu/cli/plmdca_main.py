@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--lambda_J", type=float)
         sp.add_argument("--max_iterations", type=int)
         sp.add_argument("--num_threads", type=int, help="ignored (TPU backend)")
+        sp.add_argument(
+            "--seq_block", type=int,
+            help="stream the loss over sequence blocks of this size "
+            "(auto-enabled for very deep alignments)",
+        )
         sp.add_argument("--refseq_file")
         sp.add_argument("--output_dir")
         sp.add_argument("--verbose", action="store_true")
@@ -72,6 +77,7 @@ def execute_from_command_line(
     ranked_by=None,
     linear_dist=None,
     num_site_pairs=None,
+    seq_block=None,
 ):
     if verbose:
         configure_logging()
@@ -84,6 +90,7 @@ def execute_from_command_line(
         max_iterations=max_iterations,
         num_threads=num_threads,
         verbose=verbose,
+        seq_block=seq_block,
     )
     seqbackmapper = None
     if refseq_file:
@@ -179,6 +186,7 @@ def run_plm_dca(argv=None):
         max_iterations=args.max_iterations,
         num_threads=args.num_threads,
         refseq_file=args.refseq_file,
+        seq_block=args.seq_block,
         verbose=args.verbose,
         output_dir=args.output_dir,
         apc=args.apc,

@@ -118,6 +118,87 @@ def plm_loss_and_grad(theta, msa, weights, pidx, lambda_h, lambda_j, l, q):
     )
 
 
+# ------------------------------------------------- sequence-chunked (large N)
+def _pad_to_blocks(msa: np.ndarray, weights, block: int):
+    """Split (N, L) into (nb, block, L) with zero-weight padding rows."""
+    n, l = msa.shape
+    nb = -(-n // block)
+    pad = nb * block - n
+    msa_p = np.concatenate([np.asarray(msa), np.zeros((pad, l), msa.dtype)], 0)
+    w_p = jnp.concatenate(
+        [jnp.asarray(weights), jnp.zeros((pad,), jnp.asarray(weights).dtype)], 0
+    )
+    return (
+        jnp.asarray(msa_p).reshape(nb, block, l),
+        w_p.reshape(nb, block),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("l", "q"))
+def plm_loss_and_grad_chunked(
+    theta, msa_blocks, w_blocks, pidx, lambda_h, lambda_j, l, q
+):
+    """Streaming value+grad: ``lax.scan`` over sequence blocks.
+
+    The pseudolikelihood is a plain sum over sequences, so the data term's
+    value and gradient accumulate exactly across blocks; only one block's
+    one-hot/logits/AD intermediates are live at a time, bounding device
+    memory at O(block * L * q) instead of O(N * L * q).  This is the
+    single-chip form of the data-parallel decomposition (multi-chip shards
+    the same sum over the 'data' mesh axis and psums).
+    """
+    dtype = theta.dtype
+    h = theta[: l * q].reshape(l, q)
+    jfull = _expand_couplings(theta[l * q :], pidx, l, q)
+    jmat = jfull.transpose(0, 2, 1, 3).reshape(l * q, l * q)
+
+    def data_term(params, msa_b, w_b):
+        h_b, jmat_b = params
+        x = jax.nn.one_hot(msa_b, q, dtype=dtype).reshape(-1, l * q)
+        logits = (
+            jax.lax.dot_general(
+                x, jmat_b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+            ).reshape(-1, l, q)
+            + h_b[None]
+        )
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(
+            logits, msa_b[:, :, None].astype(jnp.int32), axis=-1
+        )[:, :, 0]
+        return jnp.sum(w_b[:, None] * (lse - picked))
+
+    def body(carry, blk):
+        acc_f, acc_gh, acc_gj = carry
+        msa_b, w_b = blk
+        f_b, (gh_b, gj_b) = jax.value_and_grad(data_term)((h, jmat), msa_b, w_b)
+        return (acc_f + f_b, acc_gh + gh_b, acc_gj + gj_b), None
+
+    init = (
+        jnp.zeros((), dtype),
+        jnp.zeros_like(h),
+        jnp.zeros_like(jmat),
+    )
+    (nll, gh, gjmat), _ = jax.lax.scan(body, init, (msa_blocks, w_blocks))
+
+    # pull the jmat cotangent back through the expansion: the (i<j) block of
+    # d/dJ_pair receives both its own and the transposed (j>i) contribution
+    gj4 = gjmat.reshape(l, q, l, q).transpose(0, 2, 1, 3)  # (L, L, q, q)
+    iu, ju = np.triu_indices(l, k=1)
+    gj_pairs = gj4[iu, ju] + jnp.swapaxes(gj4[ju, iu], -1, -2)  # (P, q, q)
+
+    jflat = theta[l * q :]
+    loss = nll + lambda_h * jnp.sum(h * h) + lambda_j * jnp.sum(jflat**2)
+    grad = jnp.concatenate(
+        [
+            (gh + 2.0 * lambda_h * h).reshape(-1),
+            (gj_pairs.reshape(-1) + 2.0 * lambda_j * jflat),
+        ]
+    )
+    return loss, grad
+
+
 @functools.partial(jax.jit, static_argnames=("l", "q"))
 def init_params(msa: jax.Array, weights: jax.Array, l: int, q: int) -> jax.Array:
     """Reference initialization: ``h_ia = log(weighted_count_ia + 1)`` centered
@@ -132,18 +213,26 @@ def init_params(msa: jax.Array, weights: jax.Array, l: int, q: int) -> jax.Array
     ).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("l", "q", "num_steps"))
+@functools.partial(jax.jit, static_argnames=("l", "q", "num_steps", "chunked"))
 def _plm_lbfgs_steps(
-    state, msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, num_steps: int
+    state, msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, num_steps: int,
+    chunked: bool = False,
 ):
-    fun = lambda t: plm_loss_and_grad(t, msa, weights, pidx, lambda_h, lambda_j, l, q)
+    lg = plm_loss_and_grad_chunked if chunked else plm_loss_and_grad
+    fun = lambda t: lg(t, msa, weights, pidx, lambda_h, lambda_j, l, q)
     return lbfgs_steps(fun, state, num_steps)
 
 
-@functools.partial(jax.jit, static_argnames=("l", "q", "m"))
-def _plm_lbfgs_state0(msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, m: int):
-    theta0 = init_params(msa, weights, l, q)
-    fun = lambda t: plm_loss_and_grad(t, msa, weights, pidx, lambda_h, lambda_j, l, q)
+@functools.partial(jax.jit, static_argnames=("l", "q", "m", "chunked"))
+def _plm_lbfgs_state0(
+    msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, m: int,
+    chunked: bool = False,
+):
+    flat_msa = msa.reshape(-1, l) if chunked else msa
+    flat_w = weights.reshape(-1) if chunked else weights
+    theta0 = init_params(flat_msa, flat_w, l, q)
+    lg = plm_loss_and_grad_chunked if chunked else plm_loss_and_grad
+    fun = lambda t: lg(t, msa, weights, pidx, lambda_h, lambda_j, l, q)
     return lbfgs_init(fun, theta0, m=m)
 
 
@@ -161,6 +250,7 @@ def fit_plm(
     progress_fn=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
+    seq_block: Optional[int] = None,
 ):
     """Run the full plmDCA optimization; returns an LBFGSResult.
 
@@ -170,7 +260,15 @@ def fit_plm(
     periodic checkpointing of the optimizer state (resume a long run from
     ``checkpoint_path``), and robustness on preemptible/tunneled devices.
     Set ``chunk_size=None`` for one single fully-fused device program.
+
+    ``seq_block``: when set, evaluate the loss via the streaming
+    sequence-chunked path (:func:`plm_loss_and_grad_chunked`) with this
+    many sequences per block — use for deep alignments (N ~ 10^5+) whose
+    one-hot/logits tensors would not fit in device memory at once.
     """
+    chunked = seq_block is not None
+    if chunked:
+        msa, weights = _pad_to_blocks(np.asarray(msa), weights, int(seq_block))
     pidx = jnp.asarray(stats.pair_index_matrix(l))
     state = None
     done_iters = 0
@@ -179,14 +277,16 @@ def fit_plm(
         done_iters = int(state.k)
         logger.info("resumed plmDCA optimizer state at iteration %d", done_iters)
     if state is None:
-        state = _plm_lbfgs_state0(msa, weights, pidx, lambda_h, lambda_j, l, q, m)
+        state = _plm_lbfgs_state0(
+            msa, weights, pidx, lambda_h, lambda_j, l, q, m, chunked
+        )
 
     step = max_iterations if chunk_size is None else int(chunk_size)
     last_saved = done_iters
     while done_iters < max_iterations and not bool(state.done):
         todo = min(step, max_iterations - done_iters)
         state = _plm_lbfgs_steps(
-            state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo
+            state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo, chunked
         )
         done_iters = int(state.k)
         if progress_fn is not None:
@@ -233,6 +333,7 @@ class PlmDCA:
         num_threads: Optional[int] = None,
         verbose: bool = False,
         checkpoint_path: Optional[str] = None,
+        seq_block: Optional[int] = None,
     ):
         if isinstance(msa_file, MSA):
             self.msa = msa_file
@@ -247,6 +348,14 @@ class PlmDCA:
         if self.__lambda_h < 0 or self.__lambda_j < 0:
             raise PlmDCAException("lambda_h and lambda_J must be non-negative")
         self.__max_iterations = 100 if max_iterations is None else int(max_iterations)
+        # Streaming threshold: switch to the sequence-chunked loss when the
+        # per-evaluation logits tensor (N * L * q f32) would exceed ~1 GiB.
+        if seq_block is None:
+            n = self.msa.num_seqs
+            logits_bytes = 4 * n * l * self.msa.q
+            if logits_bytes > (1 << 30):
+                seq_block = max(1024, int((1 << 30) / (4 * l * self.msa.q)))
+        self.__seq_block = seq_block
         self.__verbose = bool(verbose)
         self.__checkpoint_path = checkpoint_path
         self.__params: Optional[np.ndarray] = None
@@ -337,6 +446,7 @@ class PlmDCA:
                     max_iterations=self.__max_iterations,
                     progress_fn=_progress,
                     checkpoint_path=self.__checkpoint_path,
+                    seq_block=self.__seq_block,
                 )
                 res.x.block_until_ready()
             self.timers.add_rate("fit", int(res.num_iters), "iters")

@@ -147,3 +147,52 @@ def test_plmdca_engine_end_to_end():
     fields, ranked = inst.compute_params(linear_dist=2, num_site_pairs=4)
     assert len(fields) == l
     assert 0 < len(ranked) <= 4
+
+
+def test_chunked_loss_and_grad_matches_full():
+    import numpy as np
+    import jax.numpy as jnp
+    from pydca_tpu import stats
+    from pydca_tpu.plm import (
+        _pad_to_blocks,
+        plm_loss_and_grad,
+        plm_loss_and_grad_chunked,
+    )
+
+    rng = np.random.default_rng(3)
+    n, l, q = 37, 9, 5
+    msa = jnp.asarray(rng.integers(0, q, (n, l)), jnp.int32)
+    w = jnp.asarray(rng.random(n), jnp.float32)
+    d = l * q + (l * (l - 1) // 2) * q * q
+    theta = jnp.asarray(rng.normal(scale=0.1, size=d), jnp.float32)
+    pidx = jnp.asarray(stats.pair_index_matrix(l))
+    lam = jnp.float32(1.3)
+
+    f_full, g_full = plm_loss_and_grad(theta, msa, w, pidx, lam, lam, l, q)
+    mb, wb = _pad_to_blocks(np.asarray(msa), w, 8)  # 37 -> 5 blocks of 8
+    f_chk, g_chk = plm_loss_and_grad_chunked(theta, mb, wb, pidx, lam, lam, l, q)
+    np.testing.assert_allclose(float(f_chk), float(f_full), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_chk), np.asarray(g_full), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fit_plm_seq_block_matches_full():
+    import numpy as np
+    import jax.numpy as jnp
+    from pydca_tpu.plm import fit_plm
+
+    rng = np.random.default_rng(4)
+    n, l, q = 50, 8, 5
+    msa = rng.integers(0, q, (n, l)).astype(np.int32)
+    w = jnp.ones((n,), jnp.float32)
+    lam = jnp.float32(0.2 * (l - 1))
+    r1 = fit_plm(jnp.asarray(msa), w, lam, lam, l, q, max_iterations=15)
+    r2 = fit_plm(
+        jnp.asarray(msa), w, lam, lam, l, q, max_iterations=15, seq_block=16
+    )
+    assert int(r2.num_iters) == int(r1.num_iters)
+    np.testing.assert_allclose(float(r2.fx), float(r1.fx), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(r2.x), np.asarray(r1.x), rtol=2e-3, atol=2e-3
+    )
