@@ -73,7 +73,7 @@ def _expand_couplings(j_flat: jax.Array, pidx: jax.Array, l: int, q: int) -> jax
     return jnp.where(diag, jnp.zeros_like(jfull), jfull)
 
 
-@functools.partial(jax.jit, static_argnames=("l", "q"))
+@functools.partial(jax.jit, static_argnames=("l", "q", "mm_bf16"))
 def plm_loss(
     theta: jax.Array,
     msa: jax.Array,
@@ -83,6 +83,7 @@ def plm_loss(
     lambda_j: jax.Array,
     l: int,
     q: int,
+    mm_bf16: bool = False,
 ) -> jax.Array:
     """Regularized negative log-pseudolikelihood (symmetric-J variant).
 
@@ -93,12 +94,14 @@ def plm_loss(
     h = theta[: l * q].reshape(l, q)
     jfull = _expand_couplings(theta[l * q :], pidx, l, q)
     jmat = jfull.transpose(0, 2, 1, 3).reshape(l * q, l * q)
-    x = jax.nn.one_hot(msa, q, dtype=dtype).reshape(-1, l * q)
+    mm_dtype = jnp.bfloat16 if mm_bf16 else dtype
+    x = jax.nn.one_hot(msa, q, dtype=mm_dtype).reshape(-1, l * q)
     logits = (
         jax.lax.dot_general(
             x,
-            jmat,
+            jmat.astype(mm_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
+            # accumulate in f32 regardless of input dtype
             preferred_element_type=dtype,
         ).reshape(-1, l, q)
         + h[None]
@@ -112,9 +115,11 @@ def plm_loss(
     return nll + reg
 
 
-def plm_loss_and_grad(theta, msa, weights, pidx, lambda_h, lambda_j, l, q):
+def plm_loss_and_grad(
+    theta, msa, weights, pidx, lambda_h, lambda_j, l, q, mm_bf16=False
+):
     return jax.value_and_grad(plm_loss)(
-        theta, msa, weights, pidx, lambda_h, lambda_j, l, q
+        theta, msa, weights, pidx, lambda_h, lambda_j, l, q, mm_bf16
     )
 
 
@@ -213,27 +218,37 @@ def init_params(msa: jax.Array, weights: jax.Array, l: int, q: int) -> jax.Array
     ).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("l", "q", "num_steps", "chunked"))
+@functools.partial(
+    jax.jit, static_argnames=("l", "q", "num_steps", "chunked", "mm_bf16")
+)
 def _plm_lbfgs_steps(
     state, msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, num_steps: int,
-    chunked: bool = False,
+    chunked: bool = False, mm_bf16: bool = False,
 ):
-    lg = plm_loss_and_grad_chunked if chunked else plm_loss_and_grad
-    fun = lambda t: lg(t, msa, weights, pidx, lambda_h, lambda_j, l, q)
+    fun = _make_loss_fun(msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16)
     return lbfgs_steps(fun, state, num_steps)
 
 
-@functools.partial(jax.jit, static_argnames=("l", "q", "m", "chunked"))
+@functools.partial(jax.jit, static_argnames=("l", "q", "m", "chunked", "mm_bf16"))
 def _plm_lbfgs_state0(
     msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, m: int,
-    chunked: bool = False,
+    chunked: bool = False, mm_bf16: bool = False,
 ):
     flat_msa = msa.reshape(-1, l) if chunked else msa
     flat_w = weights.reshape(-1) if chunked else weights
     theta0 = init_params(flat_msa, flat_w, l, q)
-    lg = plm_loss_and_grad_chunked if chunked else plm_loss_and_grad
-    fun = lambda t: lg(t, msa, weights, pidx, lambda_h, lambda_j, l, q)
+    fun = _make_loss_fun(msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16)
     return lbfgs_init(fun, theta0, m=m)
+
+
+def _make_loss_fun(msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16):
+    if chunked:
+        return lambda t: plm_loss_and_grad_chunked(
+            t, msa, weights, pidx, lambda_h, lambda_j, l, q
+        )
+    return lambda t: plm_loss_and_grad(
+        t, msa, weights, pidx, lambda_h, lambda_j, l, q, mm_bf16
+    )
 
 
 def fit_plm(
@@ -246,11 +261,12 @@ def fit_plm(
     *,
     max_iterations: int = 100,
     m: int = 5,
-    chunk_size: Optional[int] = 10,
+    chunk_size: Optional[int] = 50,
     progress_fn=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
     seq_block: Optional[int] = None,
+    mm_bf16: bool = False,
 ):
     """Run the full plmDCA optimization; returns an LBFGSResult.
 
@@ -265,6 +281,10 @@ def fit_plm(
     sequence-chunked path (:func:`plm_loss_and_grad_chunked`) with this
     many sequences per block — use for deep alignments (N ~ 10^5+) whose
     one-hot/logits tensors would not fit in device memory at once.
+
+    ``mm_bf16``: run the logits matmul with bfloat16 inputs (f32
+    accumulation) — double MXU throughput at a small cost in gradient
+    precision; score *rankings* are expected to be preserved.
     """
     chunked = seq_block is not None
     if chunked:
@@ -278,21 +298,26 @@ def fit_plm(
         logger.info("resumed plmDCA optimizer state at iteration %d", done_iters)
     if state is None:
         state = _plm_lbfgs_state0(
-            msa, weights, pidx, lambda_h, lambda_j, l, q, m, chunked
+            msa, weights, pidx, lambda_h, lambda_j, l, q, m, chunked, mm_bf16
         )
 
     step = max_iterations if chunk_size is None else int(chunk_size)
     last_saved = done_iters
-    while done_iters < max_iterations and not bool(state.done):
+    is_done = bool(state.done)
+    while done_iters < max_iterations and not is_done:
         todo = min(step, max_iterations - done_iters)
         state = _plm_lbfgs_steps(
-            state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo, chunked
+            state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo, chunked,
+            mm_bf16,
         )
-        done_iters = int(state.k)
+        # one device->host fetch per chunk (the tunnel makes each transfer
+        # expensive; state.k and state.done ride together)
+        done_iters, is_done = jax.device_get((state.k, state.done))
+        done_iters = int(done_iters)
         if progress_fn is not None:
             progress_fn(state)
         if checkpoint_path is not None and (
-            done_iters - last_saved >= checkpoint_every or bool(state.done)
+            done_iters - last_saved >= checkpoint_every or bool(is_done)
         ):
             _save_state(checkpoint_path, state)
             last_saved = done_iters
