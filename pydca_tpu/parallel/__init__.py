@@ -6,3 +6,8 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_msa,
 )
+from .fit import (  # noqa: F401
+    fit_plm_sharded,
+    init_distributed,
+    sequence_weights_sharded,
+)

@@ -1,0 +1,47 @@
+"""Sharded fits on a virtual 8-device mesh must match single-device results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pydca_tpu import stats
+from pydca_tpu.parallel import fit_plm_sharded, make_mesh, sequence_weights_sharded
+from pydca_tpu.plm import fit_plm
+
+
+def _toy(n=96, l=10, q=5, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, q, (4, l))
+    msa = base[rng.integers(0, 4, n)]
+    mut = rng.random((n, l)) < 0.25
+    return np.where(mut, rng.integers(0, q, (n, l)), msa).astype(np.int32)
+
+
+def test_sharded_weights_match_single():
+    msa = _toy(n=100)  # not a multiple of 8: exercises padding
+    mesh = make_mesh()
+    w_sharded = np.asarray(sequence_weights_sharded(mesh, msa, 0.8, 5))
+    w_single = np.asarray(
+        stats.sequence_weights(jnp.asarray(msa), 0.8, 5)
+    )
+    np.testing.assert_allclose(w_sharded, w_single, rtol=1e-6)
+
+
+def test_sharded_fit_matches_single():
+    msa = _toy(n=96)
+    l, q = msa.shape[1], 5
+    lam = jnp.float32(0.2 * (l - 1))
+    w = stats.sequence_weights(jnp.asarray(msa), 0.8, q)
+    r1 = fit_plm(jnp.asarray(msa), w, lam, lam, l, q, max_iterations=10)
+    r2 = fit_plm_sharded(
+        msa, biomolecule_q=q, max_iterations=10, mesh=make_mesh()
+    )
+    assert int(r2.num_iters) == int(r1.num_iters)
+    np.testing.assert_allclose(float(r2.fx), float(r1.fx), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r2.x), np.asarray(r1.x), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_sharded_fit_uses_multiple_devices():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
