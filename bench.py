@@ -40,6 +40,8 @@ def reference_seconds() -> float:
 
 
 def main():
+    from pydca_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from pydca_tpu import read_msa, stats

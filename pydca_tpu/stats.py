@@ -117,8 +117,6 @@ def sequence_weights(
     # Crossover measured on v5e: XLA wins below ~10k sequences (the Pallas
     # launch has ~10 ms fixed cost), Pallas wins 1.6-3.3x above it.
     if USE_PALLAS and _on_tpu() and n >= 8192:
-        from .ops.pallas_kernels import identity_counts
-
         sims = _pallas_counts(msa, thr, q)
     else:
         sims = _sequence_weights_impl(msa, jnp.float32(thr), q, blk)
