@@ -119,6 +119,12 @@ class MeanFieldDCA:
 
     # ------------------------------------------------------------- properties
     @property
+    def alignment(self) -> np.ndarray:
+        """MSA in integer form, 1-based with gap = q (reference convention,
+        ``meanfield_dca.py:140-147``).  Internal storage is 0-based."""
+        return np.asarray(self.msa.data, dtype=np.int64) + 1
+
+    @property
     def biomolecule(self) -> str:
         return self.msa.alphabet.name
 
@@ -146,7 +152,17 @@ class MeanFieldDCA:
     def effective_num_sequences(self) -> float:
         return float(jnp.sum(self.get_sequences_weight()))
 
+    @property
+    def sequences_weight(self) -> jax.Array:
+        """Sequence weights (reference property ``meanfield_dca.py:186-193``)."""
+        return self.get_sequences_weight()
+
     # ------------------------------------------------------------ statistics
+    def compute_sequences_weight(self) -> jax.Array:
+        """Recompute sequence weights (reference ``meanfield_dca.py:212-233``)."""
+        self.__weights = None
+        return self.get_sequences_weight()
+
     def get_sequences_weight(self) -> jax.Array:
         if self.__weights is None:
             with self.timers.stage("weights"):
@@ -191,22 +207,43 @@ class MeanFieldDCA:
             self.get_pair_site_freqs(), self.msa.q, self.__pseudocount
         )
 
-    def construct_corr_mat(self) -> jax.Array:
-        return stats.corr_mat_from_gram(
-            self._get_gram(),
-            self.get_reg_single_site_freqs(),
-            self.__pseudocount,
-            self.msa.seqs_len,
-            self.msa.q,
+    def construct_corr_mat(self, reg_fi=None, reg_fij=None) -> jax.Array:
+        """Correlation matrix ``C`` of shape (L(q-1), L(q-1)).
+
+        With no arguments this is a fused elementwise transform of the weighted
+        gram matrix.  Passing ``reg_fi``/``reg_fij`` mirrors the reference
+        signature (``meanfield_dca.py:520-552``) and builds C from those
+        frequencies directly.
+        """
+        if reg_fi is None and reg_fij is None:
+            return stats.corr_mat_from_gram(
+                self._get_gram(),
+                self.get_reg_single_site_freqs(),
+                self.__pseudocount,
+                self.msa.seqs_len,
+                self.msa.q,
+            )
+        if reg_fi is None:
+            reg_fi = self.get_reg_single_site_freqs()
+        if reg_fij is None:
+            reg_fij = self.get_reg_pair_site_freqs()
+        l, q = self.msa.seqs_len, self.msa.q
+        return _corr_mat_from_freqs(
+            jnp.asarray(reg_fi), jnp.asarray(reg_fij), l, q
         )
 
     # -------------------------------------------------------------- couplings
-    def compute_couplings(self) -> jax.Array:
+    def compute_couplings(self, corr_mat=None) -> jax.Array:
         """Couplings ``-C^{-1}`` of shape (L(q-1), L(q-1)); cached.
+
+        An explicit ``corr_mat`` (reference signature,
+        ``meanfield_dca.py:555-585``) bypasses the cache.
 
         Reference inverts with LU (``msa_numerics.py:321-342``); C is SPD so a
         Cholesky solve is used here (falls back to LU if factorization fails).
         """
+        if corr_mat is not None:
+            return -_spd_inverse(jnp.asarray(corr_mat).astype(self.dtype))
         if self.__couplings is None:
             with self.timers.stage("couplings"):
                 c = self.construct_corr_mat().astype(self.dtype)
@@ -246,6 +283,33 @@ class MeanFieldDCA:
         return np.asarray(
             score_mod.gauge_shift(jnp.asarray(couplings_ij).reshape(qm1, qm1))
         )
+
+    def compute_two_site_model_fields(self, couplings=None, reg_fi=None) -> np.ndarray:
+        """Two-site-model fields, shape ``(P, 2, q)`` (reference
+        ``meanfield_dca.py:555-585`` / ``msa_numerics.py:377-442``)."""
+        l, q = self.msa.seqs_len, self.msa.q
+        qm1 = q - 1
+        if couplings is None:
+            blocks = self.coupling_blocks()
+        else:
+            j4 = jnp.asarray(couplings).reshape(l, qm1, l, qm1)
+            iu, ju = np.triu_indices(l, k=1)
+            blocks = j4.transpose(0, 2, 1, 3)[iu, ju]
+        if reg_fi is None:
+            reg_fi = self.get_reg_single_site_freqs()
+        hi, hj = score_mod.two_site_model_fields(
+            blocks, jnp.asarray(reg_fi), l, q
+        )
+        return np.stack([np.asarray(hi), np.asarray(hj)], axis=1)
+
+    def get_site_pair_di_score(self) -> Dict[Tuple[int, int], float]:
+        """Unsorted DI per pair as a dict ``{(i, j): score}``
+        (reference ``meanfield_dca.py:793-830``)."""
+        di = np.asarray(self._di_scores())
+        iu, ju = np.triu_indices(self.msa.seqs_len, k=1)
+        return {
+            (int(i), int(j)): float(s) for i, j, s in zip(iu, ju, di)
+        }
 
     # ----------------------------------------------------------------- scores
     def _fn_scores(self) -> jax.Array:
@@ -288,6 +352,11 @@ class MeanFieldDCA:
         return res
 
     # ----------------------------------------------------------- backmapping
+    def get_mapped_site_pairs_dca_scores(self, sorted_dca_scores, seqbackmapper):
+        """Public name of the refseq score filter (reference
+        ``meanfield_dca.py:755-790``)."""
+        return self._map_scores(sorted_dca_scores, seqbackmapper)
+
     def _map_scores(self, sorted_dca_scores, seqbackmapper):
         """Filter/translate site pairs through a refseq mapping, re-sorted.
 
@@ -364,6 +433,27 @@ class MeanFieldDCA:
                 block = couplings_np[i * qm1 : (i + 1) * qm1, j * qm1 : (j + 1) * qm1]
                 ranked.append((pair, self.shift_couplings(block).reshape(qm1 * qm1)))
         return tuple(fields_mapped), tuple(ranked)
+
+
+def _corr_mat_from_freqs(
+    reg_fi: jax.Array, reg_fij: jax.Array, l: int, q: int
+) -> jax.Array:
+    """Build C from explicit regularized frequencies.
+
+    ``C[(i,a),(j,b)] = fij(i,j,a,b) - fi(i,a) fj(j,b)`` over the q-1 residue
+    states, diagonal blocks ``fi(a) (delta_ab - fi(b))``
+    (reference ``msa_numerics.py:270-318``).
+    """
+    qm1 = q - 1
+    fr = jnp.asarray(reg_fi)[:, :qm1]
+    iu, ju = np.triu_indices(l, k=1)
+    f4 = jnp.zeros((l, l, qm1, qm1), fr.dtype)
+    f4 = f4.at[iu, ju].set(reg_fij)
+    f4 = f4.at[ju, iu].set(jnp.swapaxes(reg_fij, -1, -2))
+    diag_blocks = jax.vmap(jnp.diag)(fr)
+    f4 = f4.at[jnp.arange(l), jnp.arange(l)].set(diag_blocks)
+    c4 = f4 - fr[:, None, :, None] * fr[None, :, None, :]
+    return c4.transpose(0, 2, 1, 3).reshape(l * qm1, l * qm1)
 
 
 def _spd_inverse(c: jax.Array) -> jax.Array:

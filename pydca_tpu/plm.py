@@ -532,6 +532,43 @@ class PlmDCA:
             score_mod.frobenius_norms(jnp.asarray(self.coupling_blocks()))
         )
 
+    def map_index_couplings(self, i, j, a, b) -> int:
+        """Flat parameter-vector index of ``J_ij(a, b)`` for a pair ``i < j``
+        (reference ``plmdca.py:183-199``; states here are 0-based)."""
+        q, l = self.msa.q, self.msa.seqs_len
+        site = int(stats.pair_index(i, j, l)) * q * q
+        return l * q + site + a * q + b
+
+    def get_single_site_freqs(self) -> jax.Array:
+        """Raw weighted ``fi`` of shape (L, q) (reference ``plmdca.py:613-633``)."""
+        return stats.single_site_freqs(
+            jnp.asarray(self.msa.data, jnp.int32),
+            self.compute_seqs_weight(),
+            self.msa.q,
+        )
+
+    def compute_two_site_model_fields(self, couplings=None) -> np.ndarray:
+        """Two-site-model fields, shape ``(P, 2, q)``
+        (reference ``plmdca.py:640-678``)."""
+        l, q = self.msa.seqs_len, self.msa.q
+        if couplings is None:
+            blocks = jnp.asarray(self.coupling_blocks())
+        else:
+            qm1 = q - 1
+            blocks = jnp.asarray(couplings).reshape(-1, qm1, qm1)
+        hi, hj = score_mod.two_site_model_fields(
+            blocks, self.get_reg_single_site_freqs(), l, q
+        )
+        return np.stack([np.asarray(hi), np.asarray(hj)], axis=1)
+
+    def compute_direct_info_unsorted_DI(self) -> np.ndarray:
+        """Unsorted DI per pair, shape ``(P,)`` (reference ``plmdca.py:681-720``)."""
+        return self._di_scores()
+
+    def get_mapped_site_pairs_dca_scores(self, sorted_dca_scores, seqbackmapper):
+        """Public name of the refseq score filter (reference ``plmdca.py:527-560``)."""
+        return self._map_scores(sorted_dca_scores, seqbackmapper)
+
     def get_reg_single_site_freqs(self) -> jax.Array:
         """fi with the DI path's hard-coded pseudocount 0.5 (``plmdca.py:638-648``)."""
         fi = stats.single_site_freqs(
