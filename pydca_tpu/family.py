@@ -110,23 +110,25 @@ def family_sequence_weights(batch: FamilyBatch, seqid: float = 0.8) -> jax.Array
 def _family_plm_loss(theta, msa, weights, pidx, site_mask, lambda_h, lambda_j,
                      l: int, q: int):
     """Masked pseudolikelihood for one (padded) family; see plm.plm_loss."""
-    from .plm import _expand_couplings
+    from .plm import _expand_full
 
+    del pidx  # index map derived statically from l (plm._expand_full)
     dtype = theta.dtype
     h = theta[: l * q].reshape(l, q)
-    jfull = _expand_couplings(theta[l * q :], pidx, l, q)
-    jmat = jfull.transpose(0, 2, 1, 3).reshape(l * q, l * q)
+    jfull = _expand_full(theta[l * q :], l, q)
+    # (N, q, L) logits layout: L on the vector lanes (see plm._plm_loss_prepped)
+    w2 = jfull.transpose(1, 3, 2, 0).reshape(l * q, q * l)
     x = jax.nn.one_hot(msa, q, dtype=dtype).reshape(-1, l * q)
     logits = (
         jax.lax.dot_general(
-            x, jmat, dimension_numbers=(((1,), (1,)), ((), ())),
+            x, w2, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=dtype,
-        ).reshape(-1, l, q)
-        + h[None]
+        ).reshape(-1, q, l)
+        + h.T[None]
     )
-    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (N, L)
-    idx = jnp.clip(msa, 0, q - 1).astype(jnp.int32)
-    picked = jnp.take_along_axis(logits, idx[:, :, None], axis=-1)[:, :, 0]
+    lse = jax.scipy.special.logsumexp(logits, axis=1)  # (N, L)
+    maskq = msa[:, None, :] == jnp.arange(q, dtype=msa.dtype)[None, :, None]
+    picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
     per_site = (lse - picked) * site_mask[None, :]
     nll = jnp.sum(weights[:, None] * per_site)
     reg = lambda_h * jnp.sum(h * h) + lambda_j * jnp.sum(theta[l * q :] ** 2)

@@ -55,22 +55,53 @@ class PlmDCAException(Exception):
 
 
 # --------------------------------------------------------------- loss function
-def _expand_couplings(j_flat: jax.Array, pidx: jax.Array, l: int, q: int) -> jax.Array:
+@functools.lru_cache(maxsize=None)
+def _triu_pairs(l: int):
+    iu, ju = np.triu_indices(l, k=1)
+    return iu, ju
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _expand_full(j_flat: jax.Array, l: int, q: int) -> jax.Array:
     """Expand flat (P, q, q) couplings to the full symmetric (L, L, q, q) tensor.
 
     ``J_full[i, j] = J_pair(i,j)`` for i < j, its transpose for i > j, zeros on
     the diagonal — exactly the symmetric-variant storage the reference uses
     (``plmdca_numerics.cpp:501-517``: site i's conditional reads J_ji[s_j, a]
     for j < i and J_ij[a, s_j] for j > i).
+
+    Custom VJP: the autodiff backward of the pair-index gather is a scatter-add,
+    which is slow on TPU; the hand-written backward gathers the (i, j) and
+    transposed (j, i) cotangent blocks instead (pure gathers, MXU/VPU friendly).
     """
     jt = j_flat.reshape(-1, q, q)
-    jg = jt[pidx]  # (L, L, q, q)
+    jg = jt[jnp.asarray(stats.pair_index_matrix(l))]  # (L, L, q, q)
     ii = jnp.arange(l)[:, None]
     jj = jnp.arange(l)[None, :]
     lower = (ii > jj)[:, :, None, None]
     diag = (ii == jj)[:, :, None, None]
     jfull = jnp.where(lower, jnp.swapaxes(jg, -1, -2), jg)
     return jnp.where(diag, jnp.zeros_like(jfull), jfull)
+
+
+def _expand_full_fwd(j_flat, l: int, q: int):
+    return _expand_full(j_flat, l, q), None
+
+
+def _expand_full_bwd(l: int, q: int, _, ct):
+    iu, ju = _triu_pairs(l)
+    d_jt = ct[iu, ju] + jnp.swapaxes(ct[ju, iu], -1, -2)
+    return (d_jt.reshape(-1),)
+
+
+_expand_full.defvjp(_expand_full_fwd, _expand_full_bwd)
+
+
+def _expand_couplings(j_flat: jax.Array, pidx: jax.Array, l: int, q: int) -> jax.Array:
+    """Back-compat wrapper: ``pidx`` must equal ``stats.pair_index_matrix(l)``
+    (it always is); the expansion itself derives the index map statically."""
+    del pidx
+    return _expand_full(j_flat, l, q)
 
 
 @functools.partial(jax.jit, static_argnames=("l", "q", "mm_bf16"))
@@ -90,26 +121,55 @@ def plm_loss(
     ``loss = sum_i sum_n -w_n log P(s_ni | s_n,-i) + lambda_h ||h||^2
     + lambda_J ||J_triu||^2``  (``plmdca_numerics.cpp:436-607``).
     """
+    x, maskq = _prep_msa(msa, l, q, theta.dtype)
+    return _plm_loss_prepped(
+        theta, x, maskq, weights, lambda_h, lambda_j, l, q, mm_bf16
+    )
+
+
+def _prep_msa(msa: jax.Array, l: int, q: int, dtype):
+    """One-hot ``(N, Lq)`` and per-state pick mask ``(N, q, L)`` for the loss.
+
+    Factored out so the optimizer can compute these once per device program
+    (outside the L-BFGS ``while_loop``) instead of once per objective
+    evaluation.
+    """
+    x = jax.nn.one_hot(msa, q, dtype=dtype).reshape(-1, l * q)
+    maskq = msa[:, None, :] == jnp.arange(q, dtype=msa.dtype)[None, :, None]
+    return x, maskq
+
+
+def _plm_loss_prepped(
+    theta, x, maskq, weights, lambda_h, lambda_j, l: int, q: int,
+    mm_bf16: bool = False,
+):
+    """Loss on pre-encoded inputs, with logits in ``(N, q, L)`` layout.
+
+    TPU layout note: reductions over the *trailing* q-axis of an
+    ``(N, L, q)`` tensor pad q (5 or 21) up to the 128-lane vector width —
+    a 6-25x waste that dominated the step time.  Arranging the coupling
+    matrix columns (a-major, i-minor) makes the matmul emit logits as
+    ``(N, q, L)``, so the softmax/pick reductions run over a middle axis
+    with L on the lanes.
+    """
     dtype = theta.dtype
     h = theta[: l * q].reshape(l, q)
-    jfull = _expand_couplings(theta[l * q :], pidx, l, q)
-    jmat = jfull.transpose(0, 2, 1, 3).reshape(l * q, l * q)
+    jfull = _expand_full(theta[l * q :], l, q)
+    # rows (j, b) = contraction side; cols (a, i) = output side
+    w2 = jfull.transpose(1, 3, 2, 0).reshape(l * q, q * l)
     mm_dtype = jnp.bfloat16 if mm_bf16 else dtype
-    x = jax.nn.one_hot(msa, q, dtype=mm_dtype).reshape(-1, l * q)
     logits = (
         jax.lax.dot_general(
-            x,
-            jmat.astype(mm_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            x.astype(mm_dtype),
+            w2.astype(mm_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             # accumulate in f32 regardless of input dtype
             preferred_element_type=dtype,
-        ).reshape(-1, l, q)
-        + h[None]
+        ).reshape(-1, q, l)
+        + h.T[None]
     )
-    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (N, L)
-    picked = jnp.take_along_axis(logits, msa[:, :, None].astype(jnp.int32), axis=-1)[
-        :, :, 0
-    ]
+    lse = jax.scipy.special.logsumexp(logits, axis=1)  # (N, L)
+    picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)  # (N, L)
     nll = jnp.sum(weights[:, None] * (lse - picked))
     reg = lambda_h * jnp.sum(h * h) + lambda_j * jnp.sum(theta[l * q :] ** 2)
     return nll + reg
@@ -154,43 +214,42 @@ def plm_loss_and_grad_chunked(
     """
     dtype = theta.dtype
     h = theta[: l * q].reshape(l, q)
-    jfull = _expand_couplings(theta[l * q :], pidx, l, q)
-    jmat = jfull.transpose(0, 2, 1, 3).reshape(l * q, l * q)
+    jfull = _expand_full(theta[l * q :], l, q)
+    w2 = jfull.transpose(1, 3, 2, 0).reshape(l * q, q * l)
 
     def data_term(params, msa_b, w_b):
-        h_b, jmat_b = params
-        x = jax.nn.one_hot(msa_b, q, dtype=dtype).reshape(-1, l * q)
+        h_b, w2_b = params
+        x, maskq = _prep_msa(msa_b, l, q, dtype)
         logits = (
             jax.lax.dot_general(
-                x, jmat_b,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                x, w2_b,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=dtype,
-            ).reshape(-1, l, q)
-            + h_b[None]
+            ).reshape(-1, q, l)
+            + h_b.T[None]
         )
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)
-        picked = jnp.take_along_axis(
-            logits, msa_b[:, :, None].astype(jnp.int32), axis=-1
-        )[:, :, 0]
+        lse = jax.scipy.special.logsumexp(logits, axis=1)
+        picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
         return jnp.sum(w_b[:, None] * (lse - picked))
 
     def body(carry, blk):
         acc_f, acc_gh, acc_gj = carry
         msa_b, w_b = blk
-        f_b, (gh_b, gj_b) = jax.value_and_grad(data_term)((h, jmat), msa_b, w_b)
+        f_b, (gh_b, gj_b) = jax.value_and_grad(data_term)((h, w2), msa_b, w_b)
         return (acc_f + f_b, acc_gh + gh_b, acc_gj + gj_b), None
 
     init = (
         jnp.zeros((), dtype),
         jnp.zeros_like(h),
-        jnp.zeros_like(jmat),
+        jnp.zeros_like(w2),
     )
-    (nll, gh, gjmat), _ = jax.lax.scan(body, init, (msa_blocks, w_blocks))
+    (nll, gh, gw2), _ = jax.lax.scan(body, init, (msa_blocks, w_blocks))
 
-    # pull the jmat cotangent back through the expansion: the (i<j) block of
-    # d/dJ_pair receives both its own and the transposed (j>i) contribution
-    gj4 = gjmat.reshape(l, q, l, q).transpose(0, 2, 1, 3)  # (L, L, q, q)
-    iu, ju = np.triu_indices(l, k=1)
+    # pull the w2 cotangent back through the expansion: the (i<j) block of
+    # d/dJ_pair receives both its own and the transposed (j>i) contribution.
+    # w2 rows are (j, b), cols (a, i) -> reorder to (i, j, a, b).
+    gj4 = gw2.reshape(l, q, q, l).transpose(3, 0, 2, 1)  # (L, L, q, q)
+    iu, ju = _triu_pairs(l)
     gj_pairs = gj4[iu, ju] + jnp.swapaxes(gj4[ju, iu], -1, -2)  # (P, q, q)
 
     jflat = theta[l * q :]
@@ -246,8 +305,12 @@ def _make_loss_fun(msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf1
         return lambda t: plm_loss_and_grad_chunked(
             t, msa, weights, pidx, lambda_h, lambda_j, l, q
         )
-    return lambda t: plm_loss_and_grad(
-        t, msa, weights, pidx, lambda_h, lambda_j, l, q, mm_bf16
+    # Encode once per device program: the one-hot MSA and pick mask are
+    # loop-invariant across all objective evaluations of an L-BFGS chunk.
+    x, maskq = _prep_msa(msa, l, q, jnp.float32)
+    grad_fn = jax.value_and_grad(_plm_loss_prepped)
+    return lambda t: grad_fn(
+        t, x, maskq, weights, lambda_h, lambda_j, l, q, mm_bf16
     )
 
 

@@ -136,3 +136,54 @@ def test_trimmer_by_refseq(rf00059_path):
     orig_len = len(trimmer.alignment_sequences[0])
     assert all(len(s) == orig_len - len(cols) for _, s in trimmed)
     assert len(trimmed) == len(trimmer.alignment_sequences)
+
+
+def _variant_path(k):
+    return f"/root/reference/tests/tests_input/ref_seq_RF00059_test{k}.faa"
+
+
+@pytest.fixture(scope="module")
+def variant_mappings(rf00059_path):
+    """Backmap RF00059 against the four refseq variants.
+
+    The variants are sub/supersequences of each other
+    (test2 = test1[4:], test3 = test1[:87], test4 = test1[4:87]), which
+    characterizes the gap-reinsertion walk of ``map_to_reference_sequence``
+    (reference ``sequence_backmapper.py:339-466``) without a Biopython oracle.
+    """
+    out = {}
+    for k in (1, 2, 3, 4):
+        bm = SequenceBackmapper(
+            msa_file=rf00059_path, refseq_file=_variant_path(k), biomolecule="rna"
+        )
+        out[k] = (bm.map_to_reference_sequence(), len(bm.ref_sequence))
+    return out
+
+
+def test_backmap_variants_monotonic_and_in_range(variant_mappings):
+    for k, (mapping, ref_len) in variant_mappings.items():
+        assert len(mapping) > 1, k
+        cols = sorted(mapping)
+        vals = [mapping[c] for c in cols]
+        assert vals == sorted(vals), k
+        assert len(set(vals)) == len(vals), k
+        assert all(0 <= v < ref_len for v in vals), k
+
+
+def test_backmap_variant_offsets_consistent(variant_mappings):
+    m1, _ = variant_mappings[1]
+    # test2 drops the first 4 residues of test1: shared columns shift by -4
+    m2, _ = variant_mappings[2]
+    shared = [c for c in m1 if c in m2 and m1[c] >= 4]
+    assert len(shared) > 40
+    assert all(m2[c] == m1[c] - 4 for c in shared)
+    # test3 truncates test1's tail: shared columns map identically
+    m3, _ = variant_mappings[3]
+    shared = [c for c in m1 if c in m3 and m1[c] < 87]
+    assert len(shared) > 40
+    assert all(m3[c] == m1[c] for c in shared)
+    # test4 does both
+    m4, _ = variant_mappings[4]
+    shared = [c for c in m1 if c in m4 and 4 <= m1[c] < 87]
+    assert len(shared) > 40
+    assert all(m4[c] == m1[c] - 4 for c in shared)
