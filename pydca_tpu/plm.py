@@ -73,9 +73,14 @@ def _expand_full(j_flat: jax.Array, l: int, q: int) -> jax.Array:
     Custom VJP: the autodiff backward of the pair-index gather is a scatter-add,
     which is slow on TPU; the hand-written backward gathers the (i, j) and
     transposed (j, i) cotangent blocks instead (pure gathers, MXU/VPU friendly).
+
+    Layout note: the gather runs on a 2-D ``(P, q*q)`` view — XLA vectorizes
+    whole-row gathers, while gathering ``(P, q, q)`` blocks by the same index
+    is ~5x slower on TPU.
     """
-    jt = j_flat.reshape(-1, q, q)
-    jg = jt[jnp.asarray(stats.pair_index_matrix(l))]  # (L, L, q, q)
+    jg = j_flat.reshape(-1, q * q)[
+        jnp.asarray(stats.pair_index_matrix(l).reshape(-1))
+    ].reshape(l, l, q, q)
     ii = jnp.arange(l)[:, None]
     jj = jnp.arange(l)[None, :]
     lower = (ii > jj)[:, :, None, None]
@@ -90,8 +95,10 @@ def _expand_full_fwd(j_flat, l: int, q: int):
 
 def _expand_full_bwd(l: int, q: int, _, ct):
     iu, ju = _triu_pairs(l)
-    d_jt = ct[iu, ju] + jnp.swapaxes(ct[ju, iu], -1, -2)
-    return (d_jt.reshape(-1),)
+    cr = ct.reshape(l * l, q * q)  # row gathers (see layout note above)
+    d_ij = cr[jnp.asarray(iu * l + ju)].reshape(-1, q, q)
+    d_ji = cr[jnp.asarray(ju * l + iu)].reshape(-1, q, q)
+    return ((d_ij + jnp.swapaxes(d_ji, -1, -2)).reshape(-1),)
 
 
 _expand_full.defvjp(_expand_full_fwd, _expand_full_bwd)
