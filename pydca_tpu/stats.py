@@ -231,18 +231,21 @@ def corr_mat_from_gram(
     the pseudocount regularization of the pair frequencies is applied here.
     """
     qm1 = q - 1
-    f4 = gram.reshape(l, q, l, q)[:, :qm1, :, :qm1]  # (L, q-1, L, q-1)
-    fij_reg = pseudocount / (q * q) + (1.0 - pseudocount) * f4
-    firm = fi_reg[:, :qm1]  # (L, q-1)
-    c4 = fij_reg - firm[:, :, None, None] * firm[None, None, :, :]
-    # Overwrite the i == j diagonal blocks.
-    diag_blocks = (
-        firm[:, :, None] * (jnp.eye(qm1, dtype=gram.dtype)[None] - firm[:, None, :])
-    )  # (L, q-1, q-1)
-    eye_l = jnp.eye(l, dtype=bool)
-    c4 = jnp.where(
-        eye_l[:, None, :, None],
-        diag_blocks[:, :, None, :],
-        c4,
+    # Drop the gap rows, then (gram is symmetric) transpose and drop the gap
+    # columns the same way.  Deliberately 2-D/3-D with large trailing dims:
+    # a (L, q-1, L, q-1) intermediate pads its trailing q-1 axis to the
+    # 128-lane tile width — a ~6x HBM blowup that OOMs at L=1000, q=21.
+    g = gram.reshape(l, q, l * q)[:, :qm1, :].reshape(l * qm1, l * q)
+    g = g.T.reshape(l, q, l * qm1)[:, :qm1, :].reshape(l * qm1, l * qm1)
+    creg = pseudocount / (q * q) + (1.0 - pseudocount) * g
+    fr = fi_reg[:, :qm1].reshape(-1)  # (L*(q-1),)
+    sites = jnp.arange(l * qm1) // qm1
+    blockdiag = sites[:, None] == sites[None, :]
+    # Off-diagonal blocks: creg - fr fr'; diagonal blocks fi (delta - fi)
+    # fold into: zero creg on the block diagonal, add diag(fr), subtract
+    # the global rank-1 term.
+    return (
+        jnp.where(blockdiag, jnp.zeros((), gram.dtype), creg)
+        + jnp.diag(fr)
+        - fr[:, None] * fr[None, :]
     )
-    return c4.reshape(l * qm1, l * qm1)
