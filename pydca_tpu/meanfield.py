@@ -313,7 +313,11 @@ class MeanFieldDCA:
 
     # ----------------------------------------------------------------- scores
     def _fn_scores(self) -> jax.Array:
-        return score_mod.frobenius_norms(self.coupling_blocks())
+        # Block-reduction FN straight off the coupling matrix: avoids the
+        # (L,L,q',q') transpose + P-block gather of coupling_blocks().
+        return score_mod.frobenius_norms_from_matrix(
+            self.compute_couplings(), self.msa.seqs_len, self.msa.q - 1
+        )
 
     def _di_scores(self) -> jax.Array:
         return score_mod.direct_information(

@@ -129,3 +129,20 @@ def test_rf00167_smoke(rf00167_path):
     vals = [s for _, s in scores]
     assert vals == sorted(vals, reverse=True)
     assert vals[0] > 0
+
+def test_frobenius_norms_from_matrix_matches_blocks():
+    """Matrix-reduction FN == per-pair block FN on a random coupling matrix."""
+    import jax.numpy as jnp
+    from pydca_tpu import score as score_mod
+
+    rng = np.random.default_rng(11)
+    l, qm1 = 9, 4
+    m = rng.standard_normal((l * qm1, l * qm1))
+    m = (m + m.T) / 2  # couplings are symmetric
+    iu, ju = np.triu_indices(l, k=1)
+    blocks = m.reshape(l, qm1, l, qm1).transpose(0, 2, 1, 3)[iu, ju]
+    ref = np.asarray(score_mod.frobenius_norms(jnp.asarray(blocks)))
+    got = np.asarray(
+        score_mod.frobenius_norms_from_matrix(jnp.asarray(m), l, qm1)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
