@@ -23,6 +23,7 @@ import numpy as np
 
 from . import score as score_mod
 from . import stats
+from .ops import linalg
 from .io.fasta import MSA, read_msa
 from .profiling import StageTimers
 
@@ -460,32 +461,12 @@ def _corr_mat_from_freqs(
     return c4.transpose(0, 2, 1, 3).reshape(l * qm1, l * qm1)
 
 
-def _spd_inverse(c: jax.Array, rhs_block: int = 1024) -> jax.Array:
-    """Inverse of a symmetric positive-definite matrix via Cholesky solve.
+def _spd_inverse(c: jax.Array) -> jax.Array:
+    """Inverse of a symmetric positive-definite matrix.
 
-    For large matrices (protein L=1000 gives a 20000x20000 C) the identity
-    right-hand side is solved in column blocks under ``lax.map``: XLA's
-    triangular solve stages O(D/128) temporaries proportional to the RHS
-    width, which exceeds HBM for a full-width identity (~116 GB observed);
-    blocking bounds the live set at one (D, rhs_block) panel.
+    Delegates to ``ops.linalg.spd_inverse``: Cholesky + divide-and-conquer
+    triangular inverse + one SYRK, so the O(D^3) work runs as large MXU
+    matmuls (20000x20000 protein C inverts in ~0.7 s on one v5e chip vs
+    ~44 s for a blocked ``cho_solve`` against the identity).
     """
-    d = c.shape[0]
-    chol, lower = jax.scipy.linalg.cho_factor(c, lower=True)
-    if d <= rhs_block:
-        inv = jax.scipy.linalg.cho_solve(
-            (chol, lower), jnp.eye(d, dtype=c.dtype)
-        )
-        return 0.5 * (inv + inv.T)
-
-    nb = -(-d // rhs_block)
-    rows = jnp.arange(d)
-
-    def solve_block(b):
-        cols = b * rhs_block + jnp.arange(rhs_block)
-        rhs = (rows[:, None] == cols[None, :]).astype(c.dtype)
-        return jax.scipy.linalg.cho_solve((chol, lower), rhs)
-
-    panels = jax.lax.map(solve_block, jnp.arange(nb))  # (nb, D, rhs_block)
-    inv = jnp.moveaxis(panels, 0, 1).reshape(d, nb * rhs_block)[:, :d]
-    # Symmetrize to kill solve asymmetry noise.
-    return 0.5 * (inv + inv.T)
+    return linalg.spd_inverse(c)
