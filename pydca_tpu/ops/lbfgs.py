@@ -1,4 +1,4 @@
-"""Jittable L-BFGS with backtracking line search, as compiled TPU control flow.
+"""Jittable L-BFGS with a strong-Wolfe line search, as compiled TPU control flow.
 
 Replaces the reference's vendored float32 libLBFGS
 (``pydca/plmdca/lbfgs/lib/lbfgs.cpp``, driven from ``plmdcaBackend.cpp:68-75``)
@@ -10,16 +10,27 @@ under ``jit``, and every objective evaluation is the caller's traced function
 Semantics mirrored from libLBFGS / the reference driver:
 - convergence when ``||g|| / max(1, ||x||) <= epsilon``  (lbfgs.cpp progress check),
 - first-iteration step ``1 / ||d||``, unit step afterwards,
-- line search capped at ``max_linesearch`` evaluations with the Armijo
-  sufficient-decrease coefficient ``ftol`` (plmdcaBackend.cpp:68-75: m=5,
-  epsilon=1e-3, ftol=1e-4, max_linesearch=5),
-- a failed line search terminates the optimization but keeps the best point,
-  matching pydca's treatment of ``LBFGSERR_ROUNDING_ERROR`` as completion
-  (plmdcaBackend.cpp:82-90).
+- the line search enforces sufficient decrease (coefficient ``ftol = 1e-4``,
+  plmdcaBackend.cpp:71) AND the strong-Wolfe curvature condition
+  ``|g(x+a d).d| <= wolfe * |g(x).d|`` with ``wolfe = 0.9`` — the same pair
+  of conditions MoreThuente enforces in the reference (lbfgs.cpp defaults;
+  ``param.wolfe`` commented out at plmdcaBackend.cpp:74 leaves 0.9),
+- bracketing + zoom with safeguarded cubic interpolation (the MoreThuente
+  update rules, expressed as a single ``lax.while_loop``),
+- when float32 rounding makes further decrease unresolvable, the run exits
+  as *completed*, matching pydca's treatment of ``LBFGSERR_ROUNDING_ERROR``
+  (= -1001) as successful completion (plmdcaBackend.cpp:82-90),
+- a genuinely failed line search terminates the optimization but keeps the
+  best point.
+
+Deviation from the reference knobs: ``max_linesearch`` defaults to 10 here
+(reference: 5).  Objective evaluations are two orders of magnitude cheaper on
+the MXU than on the reference's OpenMP path, so a slightly deeper search that
+avoids premature termination is the right trade; iteration-count parity is
+unaffected (``max_iterations`` still counts outer iterations).
 
 History updates with non-positive curvature ``s.y`` are skipped (standard
-cautious update; MoreThuente's curvature condition enforces this implicitly in
-the reference).
+cautious update; the curvature condition makes them rare).
 """
 
 from __future__ import annotations
@@ -45,7 +56,7 @@ class LBFGSResult(NamedTuple):
     fx: jax.Array
     gnorm: jax.Array
     num_iters: jax.Array
-    converged: jax.Array  # True when gradient criterion met
+    converged: jax.Array  # True when gradient criterion met OR rounding-limit exit
     linesearch_failed: jax.Array
 
 
@@ -68,8 +79,6 @@ class LBFGSState(NamedTuple):
     done: jax.Array
     converged: jax.Array
     ls_failed: jax.Array
-
-
 
 
 def _two_loop(g, s_hist, y_hist, rho, k, m):
@@ -105,6 +114,178 @@ def _two_loop(g, s_hist, y_hist, rho, k, m):
 
     r = jax.lax.fori_loop(0, m, fwd, r)
     return -r
+
+
+def _cubic_step(a, fa, da, b, fb, db, lo, hi):
+    """Safeguarded cubic-Hermite minimizer of the interval, clipped to
+    the central 80% of [lo, hi]; bisection fallback when degenerate."""
+    d1 = da + db - 3.0 * (fa - fb) / jnp.where(a == b, 1.0, a - b)
+    disc = d1 * d1 - da * db
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.where(b >= a, sq, -sq)
+    denom = db - da + 2.0 * sq
+    t = b - (b - a) * (db + sq - d1) / jnp.where(denom == 0, 1.0, denom)
+    width = hi - lo
+    t_ok = (
+        jnp.isfinite(t)
+        & (disc >= 0)
+        & (denom != 0)
+        & (t > lo + 0.1 * width)
+        & (t < hi - 0.1 * width)
+    )
+    return jnp.where(t_ok, t, 0.5 * (lo + hi))
+
+
+def _wolfe_linesearch(fun, x, f0, g0, direction, dg0, step0, ftol, wolfe,
+                      max_linesearch):
+    """Strong-Wolfe bracket+zoom line search (Nocedal-Wright alg. 3.5/3.6,
+    the conditions MoreThuente enforces), as one ``lax.while_loop``.
+
+    Returns ``(xnew, fnew, gnew, accepted, rounding)``:
+      accepted  — a point with sufficient decrease was taken (with curvature
+                  when reachable within the evaluation budget; decrease-only
+                  as fallback, which is strictly better than terminating),
+      rounding  — no decrease is resolvable at this float precision; treat
+                  as completed (reference: LBFGSERR_ROUNDING_ERROR -> done).
+    """
+    dtype = f0.dtype
+    eps_f = jnp.array(
+        10.0 * jnp.finfo(jnp.float32).eps, dtype
+    )  # f32 resolution guard — params/loss are float32 as in the reference
+
+    def suff(alpha, fa):
+        return fa <= f0 + ftol * alpha * dg0
+
+    def curv(dga):
+        return jnp.abs(dga) <= wolfe * jnp.abs(dg0)
+
+    # carry: (stage, alpha, lo, f_lo, dg_lo, hi, f_hi, dg_hi,
+    #         best_alpha, best_f, x_out, f_out, g_out,
+    #         accepted, trials, min_fgap)
+    # stage 0 = bracketing, 1 = zoom.  (lo, hi) only meaningful in zoom.
+    zero = jnp.array(0.0, dtype)
+
+    def cond(c):
+        (stage, alpha, lo, f_lo, dg_lo, hi, f_hi, dg_hi, best_a, best_f,
+         x_out, f_out, g_out, accepted, trials, min_fgap) = c
+        # stop when accepted, budget exhausted, or zoom interval collapsed
+        width_ok = jnp.where(
+            stage == 1,
+            jnp.abs(hi - lo) > 1e-10 * jnp.maximum(jnp.abs(hi), 1.0),
+            True,
+        )
+        return (~accepted) & (trials < max_linesearch) & width_ok & (alpha > 0)
+
+    def body(c):
+        (stage, alpha, lo, f_lo, dg_lo, hi, f_hi, dg_hi, best_a, best_f,
+         x_out, f_out, g_out, accepted, trials, min_fgap) = c
+        xnew = x + alpha * direction
+        fnew, gnew = fun(xnew)
+        dgnew = jnp.vdot(gnew, direction).astype(dtype)
+        trials = trials + 1
+        min_fgap = jnp.minimum(min_fgap, fnew - f0)
+
+        # track best strict-decrease point as acceptance fallback
+        better = fnew < best_f
+        best_a = jnp.where(better, alpha, best_a)
+        new_best_f = jnp.where(better, fnew, best_f)
+        x_out = jnp.where(better, xnew, x_out)
+        f_out = jnp.where(better, fnew, f_out)
+        g_out = jnp.where(better, gnew, g_out)
+
+        ok_suff = suff(alpha, fnew)
+        ok_curv = curv(dgnew)
+        accept_now = ok_suff & ok_curv
+
+        is_bracket = stage == 0
+        # --- bracketing-stage transitions
+        br_to_zoom_hi = (~ok_suff) | ((fnew >= f_lo) & (trials > 1))
+        br_to_zoom_rev = ok_suff & (~ok_curv) & (dgnew >= 0)
+        br_expand = ok_suff & (~ok_curv) & (dgnew < 0)
+
+        # --- zoom-stage updates (alpha is inside [lo, hi])
+        zm_shrink_hi = (~ok_suff) | (fnew >= f_lo)
+        zm_flip = ok_suff & (fnew < f_lo) & (dgnew * (hi - lo) >= 0)
+
+        n_stage = jnp.where(is_bracket & (br_to_zoom_hi | br_to_zoom_rev),
+                            1, stage)
+
+        # new bracket endpoints
+        n_lo = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_rev | br_expand, alpha, lo),
+            jnp.where(zm_shrink_hi, lo, alpha),
+        )
+        n_f_lo = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_rev | br_expand, fnew, f_lo),
+            jnp.where(zm_shrink_hi, f_lo, fnew),
+        )
+        n_dg_lo = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_rev | br_expand, dgnew, dg_lo),
+            jnp.where(zm_shrink_hi, dg_lo, dgnew),
+        )
+        n_hi = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_hi, alpha, jnp.where(br_to_zoom_rev, lo, hi)),
+            jnp.where(zm_shrink_hi, alpha, jnp.where(zm_flip, lo, hi)),
+        )
+        n_f_hi = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_hi, fnew, jnp.where(br_to_zoom_rev, f_lo, f_hi)),
+            jnp.where(zm_shrink_hi, fnew, jnp.where(zm_flip, f_lo, f_hi)),
+        )
+        n_dg_hi = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_hi, dgnew, jnp.where(br_to_zoom_rev, dg_lo, dg_hi)),
+            jnp.where(zm_shrink_hi, dgnew, jnp.where(zm_flip, dg_lo, dg_hi)),
+        )
+
+        # next trial step
+        lo_b = jnp.minimum(n_lo, n_hi)
+        hi_b = jnp.maximum(n_lo, n_hi)
+        interp = _cubic_step(n_lo, n_f_lo, n_dg_lo, n_hi, n_f_hi, n_dg_hi,
+                             lo_b, hi_b)
+        n_alpha = jnp.where(
+            is_bracket & br_expand,
+            jnp.minimum(alpha * 2.1, jnp.array(1e20, dtype)),
+            interp,
+        )
+
+        # on acceptance, route the accepted evaluation to the outputs
+        x_out = jnp.where(accept_now, xnew, x_out)
+        f_out = jnp.where(accept_now, fnew, f_out)
+        g_out = jnp.where(accept_now, gnew, g_out)
+        best_f2 = jnp.where(accept_now, fnew, new_best_f)
+
+        return (n_stage, n_alpha, n_lo, n_f_lo, n_dg_lo, n_hi, n_f_hi,
+                n_dg_hi, best_a, best_f2, x_out, f_out, g_out,
+                accepted | accept_now, trials, min_fgap)
+
+    init = (
+        jnp.array(0, jnp.int32),  # stage
+        step0,                     # alpha
+        zero, f0, dg0,             # lo, f_lo, dg_lo  (alpha = 0 endpoint)
+        zero, f0, dg0,             # hi, f_hi, dg_hi  (unused until zoom)
+        zero, f0,                  # best_alpha, best_f
+        x, f0, g0,                 # x_out, f_out, g_out
+        jnp.array(False),          # accepted
+        jnp.array(0, jnp.int32),   # trials
+        jnp.array(jnp.inf, dtype), # min (fnew - f0) observed
+    )
+    (stage, alpha, lo, f_lo, dg_lo, hi, f_hi, dg_hi, best_a, best_f,
+     x_out, f_out, g_out, accepted, trials, min_fgap) = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    decreased = best_f < f0
+    took_step = accepted | decreased
+    # rounding-limit completion: every trial's decrease was below float32
+    # resolution of f0 — mirror of libLBFGS LBFGSERR_ROUNDING_ERROR, which
+    # the reference driver reports as "optimization completed"
+    rounding = (~took_step) & (min_fgap <= eps_f * jnp.abs(f0))
+    return x_out, f_out, g_out, took_step, rounding
 
 
 def lbfgs_init(
@@ -145,8 +326,8 @@ def lbfgs_steps(
     *,
     epsilon: float = 1e-3,
     ftol: float = 1e-4,
-    max_linesearch: int = 5,
-    step_shrink: float = 0.5,
+    wolfe: float = 0.9,
+    max_linesearch: int = 10,
 ) -> LBFGSState:
     """Advance the optimizer by up to ``num_steps`` L-BFGS iterations.
 
@@ -173,41 +354,18 @@ def lbfgs_steps(
 
         step0 = jnp.where(st.k == 0, 1.0 / jnp.maximum(dnorm, 1e-30), 1.0).astype(dtype)
 
-        # ---------------- backtracking line search (Armijo, <= max_linesearch evals)
-        def ls_cond(ls):
-            step, fx, gx, xnew, accepted, trials = ls
-            return jnp.logical_and(~accepted, trials < max_linesearch)
-
-        def ls_body(ls):
-            step, _, _, _, _, trials = ls
-            xnew = st.x + step * direction
-            fnew, gnew = fun(xnew)
-            ok = fnew <= st.f + ftol * step * dg0
-            # quadratic interpolation on rejection (clipped to [0.1, 0.5]*step;
-            # MoreThuente does cubic — quadratic keeps the same contraction
-            # guarantees at a fraction of the bookkeeping)
-            denom = fnew - st.f - dg0 * step
-            quad = -0.5 * dg0 * step * step / jnp.where(denom == 0, 1.0, denom)
-            shrunk = jnp.clip(quad, 0.1 * step, step_shrink * step)
-            shrunk = jnp.where(jnp.isfinite(shrunk), shrunk, step_shrink * step)
-            next_step = jnp.where(ok, step, shrunk)
-            return (next_step, fnew, gnew, xnew, ok, trials + 1)
-
-        step, fnew, gnew, xnew, accepted, trials = jax.lax.while_loop(
-            ls_cond,
-            ls_body,
-            (
-                step0,
-                st.f,
-                st.g,
-                st.x,
-                jnp.array(False),
-                jnp.array(0, jnp.int32),
-            ),
+        xnew, fnew, gnew, took_step, rounding = _wolfe_linesearch(
+            fun, st.x, st.f, st.g, direction, dg0.astype(dtype), step0,
+            jnp.array(ftol, dtype), jnp.array(wolfe, dtype), max_linesearch,
         )
 
         def on_fail(st):
-            return st._replace(done=True, ls_failed=True)
+            # rounding-limit exit counts as completion (plmdcaBackend.cpp:82-90)
+            return st._replace(
+                done=True,
+                converged=st.converged | rounding,
+                ls_failed=~rounding,
+            )
 
         def on_success(st):
             s = xnew - st.x
@@ -236,7 +394,7 @@ def lbfgs_steps(
                 ls_failed=st.ls_failed,
             )
 
-        return jax.lax.cond(accepted, on_success, on_fail, st)
+        return jax.lax.cond(took_step, on_success, on_fail, st)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -260,8 +418,8 @@ def lbfgs_minimize(
     max_iterations: int = 100,
     epsilon: float = 1e-3,
     ftol: float = 1e-4,
-    max_linesearch: int = 5,
-    step_shrink: float = 0.5,
+    wolfe: float = 0.9,
+    max_linesearch: int = 10,
 ) -> LBFGSResult:
     """Minimize ``fun`` (returning ``(value, grad)``) from ``x0``.
 
@@ -277,7 +435,7 @@ def lbfgs_minimize(
         max_iterations,
         epsilon=epsilon,
         ftol=ftol,
+        wolfe=wolfe,
         max_linesearch=max_linesearch,
-        step_shrink=step_shrink,
     )
     return result_from_state(state)
