@@ -1,13 +1,24 @@
-"""Benchmark: plmDCA on RF00167 (BASELINE.json configs[1]) on the real TPU.
+"""Benchmark matrix: one JSON line per BASELINE.md config, on the real TPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Line 1 (headline, BASELINE configs[1]): plmDCA RF00167 100-iteration fit
+wall-clock vs the reference C++/OpenMP backend timed on this host (cached in
+tests/goldens/ref_plm_rf00167_it100.npz).
 
-value   = steady-state wall-clock of a full 100-iteration plmDCA fit
-          (second run; the first run pays one-time JIT compilation).
-vs_baseline = reference C++/OpenMP backend wall-clock on this host divided
-          by ours (>1 means faster than the reference).  The reference
-          timing is measured once and cached in tests/goldens/.
+Further lines:
+  - plmDCA PF02826 (configs[2], protein, 8.35M params) vs the cached
+    reference backend timing;
+  - mfDCA RF00167 compute_fn --apc (configs[0]) vs the reference mean-field
+    engine executed from /root/reference (numba stubbed to pure numpy —
+    numba is not installable on this host; cached in
+    tests/goldens/ref_mf_timing.json);
+  - plm gradient model-FLOPs/s and fraction of the chip's bf16 matmul peak
+    (MFU) on the PF02826 problem;
+  - 100k-sequence streaming fit throughput and 32-family vmapped batch
+    throughput (configs[3]/[4]; the reference has no counterpart — baseline
+    reported as 0).
+
+Each line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline > 1 means faster than the reference on the same host.
 """
 
 import json
@@ -16,40 +27,60 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-MSA = "/root/reference/examples/MSA_RF00167.fa"
-GOLDEN = os.path.join(REPO, "tests", "goldens", "ref_plm_rf00167_it100.npz")
+GOLDENS = os.path.join(REPO, "tests", "goldens")
+RF00167 = "/root/reference/examples/MSA_RF00167.fa"
+PF02826 = "/root/reference/tests/tests_input/PF02826.faa"
 ITERS = 100
 
+# bf16 matmul peak per chip, by device_kind prefix (public spec sheets)
+PEAK_BF16 = {
+    "TPU v6": 918e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 197e12,  # v5e / "TPU v5 lite"
+    "TPU v4": 275e12,
+    "TPU v3": 123e12,
+}
 
-def reference_seconds() -> float:
+
+def emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 4),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 2)
+                if vs_baseline is not None
+                else 0,
+            }
+        ),
+        flush=True,
+    )
+
+
+def ref_plm_seconds(name):
     import numpy as np
 
-    if os.path.exists(GOLDEN):
-        return float(np.load(GOLDEN)["seconds"])
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    import ref_backend
-
-    t0 = time.time()
-    params = ref_backend.run_backend(
-        MSA, "rna", 102, max_iterations=ITERS, num_threads=os.cpu_count()
-    )
-    dt = time.time() - t0
-    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-    np.savez_compressed(GOLDEN, params=params, seconds=dt)
-    return dt
+    path = os.path.join(GOLDENS, f"ref_plm_{name}_it100.npz")
+    if os.path.exists(path):
+        return float(np.load(path)["seconds"])
+    return None
 
 
-def main():
-    from pydca_tpu.runtime import enable_compilation_cache
-    enable_compilation_cache()
+def ref_mf_seconds():
+    path = os.path.join(GOLDENS, "ref_mf_timing.json")
+    if os.path.exists(path):
+        return json.load(open(path))["mf_rf00167_fn_apc_seconds"]
+    return None
+
+
+def bench_plm(msa_file, biomolecule, name, runs=3):
     import jax.numpy as jnp
 
     from pydca_tpu import read_msa, stats
     from pydca_tpu.plm import fit_plm
 
-    ref_s = reference_seconds()
-
-    msa = read_msa(MSA, "rna")
+    msa = read_msa(msa_file, biomolecule)
     l, q = msa.seqs_len, msa.q
     m = jnp.asarray(msa.data, jnp.int32)
     w = stats.sequence_weights(m, 0.8, q)
@@ -60,21 +91,175 @@ def main():
         t0 = time.time()
         res = fit_plm(m, w, lam, lam, l, q, max_iterations=ITERS)
         res.x.block_until_ready()
-        return time.time() - t0, int(res.num_iters)
+        return time.time() - t0
 
-    run()  # warm-up: pays JIT compilation
-    dt, iters = min(run() for _ in range(3))
-
-    print(
-        json.dumps(
-            {
-                "metric": "plmdca_rf00167_100it_wallclock",
-                "value": round(dt, 4),
-                "unit": "s",
-                "vs_baseline": round(ref_s / dt, 2),
-            }
-        )
+    run()  # warm-up: pays one-time JIT compilation
+    dt = min(run() for _ in range(runs))
+    ref_s = ref_plm_seconds(name)
+    emit(
+        f"plmdca_{name}_100it_wallclock",
+        dt,
+        "s",
+        (ref_s / dt) if ref_s else None,
     )
+    return msa, m, w, lam
+
+
+def bench_mf():
+    from pydca_tpu.meanfield import MeanFieldDCA
+
+    def run():
+        t0 = time.time()
+        inst = MeanFieldDCA(RF00167, "rna", pseudocount=0.5, seqid=0.8)
+        scores = inst.compute_sorted_FN_APC()
+        assert scores[0][1] > 0
+        return time.time() - t0
+
+    run()  # warm-up
+    dt = min(run() for _ in range(2))
+    ref_s = ref_mf_seconds()
+    emit("mfdca_rf00167_fn_apc_wallclock", dt, "s", (ref_s / dt) if ref_s else None)
+
+
+def bench_mfu(msa, m, w, lam):
+    """Model-FLOPs/s of the plm objective+gradient on PF02826.
+
+    FLOP model: the data term is one (N, Lq) x (Lq, qL) matmul forward and
+    one same-shape matmul in the backward pass (x is constant, only the
+    coupling operand's gradient is needed): 4*N*(L*q)^2 MXU FLOPs per
+    value_and_grad evaluation.  Elementwise softmax/regularizer FLOPs are
+    excluded (model FLOPs, not hardware FLOPs), so this slightly
+    *understates* utilization.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pydca_tpu import plm as plm_mod
+
+    l, q = msa.seqs_len, msa.q
+    n = m.shape[0]
+    pidx = None  # _plm_loss_prepped path does not need pair indices
+    x, maskq = plm_mod._prep_msa(m, l, q, jnp.float32)
+    theta0 = plm_mod.init_params(m, w, l, q)
+    grad_fn = jax.jit(
+        jax.value_and_grad(plm_mod._plm_loss_prepped),
+        static_argnames=("l", "q", "mm_bf16"),
+    )
+
+    def run():
+        fx, g = grad_fn(theta0, x, maskq, w, lam, lam, l, q, False)
+        g.block_until_ready()
+
+    run()  # compile
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        run()
+    dt = (time.time() - t0) / reps
+    flops = 4.0 * n * (l * q) ** 2
+    tflops = flops / dt / 1e12
+
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_BF16.items() if kind.startswith(k)), None)
+    mfu = tflops * 1e12 / peak if peak else None
+    emit("plm_grad_pf02826_model_tflops", tflops, "TFLOP/s", None)
+    if mfu is not None:
+        emit("plm_grad_pf02826_mfu_bf16peak", mfu * 100, "%", None)
+
+
+def bench_deep():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pydca_tpu import stats
+    from pydca_tpu.plm import fit_plm
+
+    n, l, q = 100_000, 120, 5
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, q, size=(64, l))
+    msa = base[rng.integers(0, 64, size=n)]
+    flip = rng.random((n, l)) < 0.15
+    msa = np.where(flip, rng.integers(0, q, size=(n, l)), msa).astype(np.int32)
+    m = jnp.asarray(msa)
+
+    t0 = time.time()
+    w = stats.sequence_weights(m, 0.8, q)
+    w.block_until_ready()
+    wdt = time.time() - t0
+    emit("weights_100k_pair_identities", n * n / wdt / 1e9, "G pairs/s", None)
+
+    lam = jnp.float32(0.2 * (l - 1))
+    t0 = time.time()
+    r = fit_plm(m, w, lam, lam, l, q, max_iterations=10, seq_block=16384)
+    r.x.block_until_ready()
+    dt = time.time() - t0
+    emit(
+        "plm_100kseq_streaming_throughput",
+        int(r.num_iters) * n / dt / 1e6,
+        "M seq-updates/s",
+        None,
+    )
+
+
+def bench_family():
+    import numpy as np
+
+    from pydca_tpu.alphabets import RNA
+    from pydca_tpu.family import FamilyBatch, family_plm_fit
+    from pydca_tpu.io.fasta import MSA
+
+    f, nmax, lmax, q = 32, 512, 64, 5
+    rng = np.random.default_rng(2)
+
+    def synth(n, l, seed):
+        r = np.random.default_rng(seed)
+        base = r.integers(0, q, size=(16, l))
+        msa = base[r.integers(0, 16, size=n)]
+        flip = r.random((n, l)) < 0.15
+        return np.where(flip, r.integers(0, q, size=(n, l)), msa).astype(np.int8)
+
+    msas = [
+        MSA(
+            data=synth(
+                int(rng.integers(nmax // 2, nmax + 1)),
+                int(rng.integers(lmax // 2, lmax + 1)),
+                k,
+            ),
+            alphabet=RNA,
+        )
+        for k in range(f)
+    ]
+    batch = FamilyBatch(msas)
+
+    def run():
+        t0 = time.time()
+        thetas, _ = family_plm_fit(batch, max_iterations=20)
+        thetas.block_until_ready()
+        return time.time() - t0
+
+    run()  # warm-up
+    dt = run()
+    emit("family_batch_32x20it", f * 20 / dt, "family-iters/s", None)
+
+
+def main():
+    from pydca_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    only = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+    if only in ("all", "plm"):
+        bench_plm(RF00167, "rna", "rf00167")
+    if only in ("all", "protein"):
+        msa, m, w, lam = bench_plm(PF02826, "protein", "pf02826", runs=2)
+        bench_mfu(msa, m, w, lam)
+    if only in ("all", "mf"):
+        bench_mf()
+    if only in ("all", "deep"):
+        bench_deep()
+    if only in ("all", "family"):
+        bench_family()
 
 
 if __name__ == "__main__":

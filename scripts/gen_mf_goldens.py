@@ -14,84 +14,19 @@ only imported from /root/reference and executed.
 Run:  python scripts/gen_mf_goldens.py
 """
 
+import os
 import sys
 import time
-import types
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+from ref_mf import load_reference_meanfield  # noqa: E402
 
 REF = "/root/reference"
 OUT = "/root/repo/tests/goldens"
 
-
-# ---------------------------------------------------------------------------
-# Stub numba: @jit(...) becomes identity, prange becomes range.
-# ---------------------------------------------------------------------------
-numba = types.ModuleType("numba")
-
-
-def _jit(*args, **kwargs):
-    if args and callable(args[0]) and not kwargs:
-        return args[0]
-
-    def deco(fn):
-        return fn
-
-    return deco
-
-
-numba.jit = _jit
-numba.prange = range
-sys.modules["numba"] = numba
-
-
-# ---------------------------------------------------------------------------
-# Stub Bio: AlignIO.read(file, 'fasta') -> list of records with .seq (str),
-# and Align.MultipleSeqAlignment (only used in an isinstance-style check).
-# ---------------------------------------------------------------------------
-class _Record:
-    def __init__(self, seq):
-        self.seq = seq
-
-
-def _read_fasta(file_name, fmt):
-    assert fmt == "fasta"
-    records = []
-    cur = []
-    with open(file_name) as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if line.startswith(">"):
-                if cur:
-                    records.append(_Record("".join(cur)))
-                cur = []
-            elif line.strip():
-                cur.append(line.strip())
-    if cur:
-        records.append(_Record("".join(cur)))
-    return records
-
-
-bio = types.ModuleType("Bio")
-align_io = types.ModuleType("Bio.AlignIO")
-align_io.read = _read_fasta
-align_mod = types.ModuleType("Bio.Align")
-
-
-class MultipleSeqAlignment:  # placeholder for the engine's type check
-    pass
-
-
-align_mod.MultipleSeqAlignment = MultipleSeqAlignment
-bio.AlignIO = align_io
-bio.Align = align_mod
-sys.modules["Bio"] = bio
-sys.modules["Bio.AlignIO"] = align_io
-sys.modules["Bio.Align"] = align_mod
-
-sys.path.insert(0, REF)
-
-from pydca.meanfield_dca.meanfield_dca import MeanFieldDCA  # noqa: E402
+MeanFieldDCA = load_reference_meanfield()
 
 
 def pack(sorted_scores):
