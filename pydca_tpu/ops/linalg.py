@@ -34,7 +34,9 @@ _BASE_BLOCK = 1024
 def tri_inv_lower(m: jax.Array, block: int = _BASE_BLOCK) -> jax.Array:
     """Inverse of a lower-triangular matrix via matmul-rich divide & conquer."""
     n = m.shape[0]
-    if n <= block:
+    # n < 256 cannot produce a valid lane-aligned split (k would leave a
+    # sub-128 or negative remainder for custom block < 256): solve directly.
+    if n <= block or n < 256:
         return jax.scipy.linalg.solve_triangular(
             m, jnp.eye(n, dtype=m.dtype), lower=True
         )

@@ -9,5 +9,6 @@ from .mesh import (  # noqa: F401
 from .fit import (  # noqa: F401
     fit_plm_sharded,
     init_distributed,
+    mfdca_sharded,
     sequence_weights_sharded,
 )

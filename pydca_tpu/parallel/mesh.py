@@ -92,7 +92,9 @@ def shard_msa(mesh: Mesh, msa, weights=None, pad_to_multiple: bool = True):
     msa = jnp.asarray(msa)
     if weights is None:
         weights = jnp.ones((n,), jnp.float32)
-    weights = jnp.asarray(weights, jnp.float32)
+    weights = jnp.asarray(weights)  # keep caller's dtype (f64 mf parity path)
+    if not jnp.issubdtype(weights.dtype, jnp.floating):
+        weights = weights.astype(jnp.float32)
     if npad and pad_to_multiple:
         msa = jnp.pad(msa, ((0, npad), (0, 0)), constant_values=0)
         weights = jnp.pad(weights, (0, npad))

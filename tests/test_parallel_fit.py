@@ -45,3 +45,37 @@ def test_sharded_fit_matches_single():
 
 def test_sharded_fit_uses_multiple_devices():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+
+
+def test_sharded_meanfield_matches_single_device():
+    """mfdca_sharded (2x4 data x model mesh) vs MeanFieldDCA on one device,
+    end-to-end through the solve (VERDICT round-1 item 4)."""
+    from pydca_tpu.alphabets import RNA
+    from pydca_tpu.io.fasta import MSA
+    from pydca_tpu.meanfield import MeanFieldDCA
+    from pydca_tpu.parallel import mfdca_sharded
+
+    msa = _toy(n=100, l=24, q=5, seed=3)
+    mf = MeanFieldDCA(MSA(data=msa.astype(np.int8), alphabet=RNA), "rna")
+    fn_single = np.array([s for _, s in sorted(
+        mf.compute_sorted_FN(), key=lambda t: t[0])])
+    apc_single = np.array([s for _, s in sorted(
+        mf.compute_sorted_FN_APC(), key=lambda t: t[0])])
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    fn_sh, apc_sh = mfdca_sharded(msa, biomolecule_q=5, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(fn_sh), fn_single, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(apc_sh), apc_single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_meanfield_couplings_model_sharded():
+    """The coupling matrix must actually come back sharded over 'model'."""
+    from pydca_tpu.parallel import mfdca_sharded
+
+    msa = _toy(n=64, l=16, q=5, seed=4)
+    mesh = make_mesh(n_data=2, n_model=4)
+    _, _, couplings = mfdca_sharded(
+        msa, biomolecule_q=5, mesh=mesh, return_couplings=True
+    )
+    spec = couplings.sharding.spec
+    assert spec and spec[0] == "model", f"couplings not model-sharded: {spec}"
