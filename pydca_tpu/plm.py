@@ -359,6 +359,10 @@ def fit_plm(
     chunked = seq_block is not None
     if chunked:
         msa, weights = _pad_to_blocks(np.asarray(msa), weights, int(seq_block))
+    # np.savez appends .npz to a bare path; normalize so the resume
+    # existence check and the save target always name the same file
+    if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
+        checkpoint_path = checkpoint_path + ".npz"
     pidx = jnp.asarray(stats.pair_index_matrix(l))
     state = None
     done_iters = 0
