@@ -6,6 +6,11 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_msa,
 )
+from .data import (  # noqa: F401
+    ShardedMSA,
+    read_msa_distributed,
+    weights_distributed,
+)
 from .fit import (  # noqa: F401
     fit_plm_sharded,
     init_distributed,

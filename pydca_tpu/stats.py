@@ -62,8 +62,11 @@ def one_hot_msa(msa: jax.Array, q: int, dtype=jnp.float32) -> jax.Array:
 
 
 # --------------------------------------------------------------------- weights
-@functools.partial(jax.jit, static_argnames=("q", "block"))
-def _sequence_weights_impl(msa: jax.Array, thr: jax.Array, q: int, block: int):
+@functools.partial(jax.jit, static_argnames=("q", "block", "has_valid"))
+def _sequence_weights_impl(
+    msa: jax.Array, thr: jax.Array, q: int, block: int, valid=None,
+    has_valid: bool = False,
+):
     n, l = msa.shape
     x = jax.nn.one_hot(msa, q, dtype=jnp.int8).reshape(n, l * q)
     nblocks = -(-n // block)
@@ -78,7 +81,12 @@ def _sequence_weights_impl(msa: jax.Array, thr: jax.Array, q: int, block: int):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (block, N)
-        sim = jnp.sum((counts.astype(jnp.float32) > thr).astype(jnp.int32), axis=1)
+        ind = (counts.astype(jnp.float32) > thr).astype(jnp.int32)
+        if has_valid:
+            # mask out padding/invalid sequences so they never count as
+            # neighbors (multi-host shards pad to a common local size)
+            ind = ind * valid.astype(jnp.int32)[None, :]
+        sim = jnp.sum(ind, axis=1)
         return carry, sim
 
     _, sims = jax.lax.scan(body, None, xp.reshape(nblocks, block, l * q))
@@ -92,6 +100,7 @@ def sequence_weights(
     *,
     block: int = _DEFAULT_BLOCK,
     dtype=jnp.float32,
+    valid=None,
 ) -> jax.Array:
     """Per-sequence reweighting factors.
 
@@ -109,6 +118,10 @@ def sequence_weights(
     block : int
         Row-block size for the tiled N x N identity-count matmul; the full
         ``(N, N)`` matrix is never materialized.
+    valid : optional (N,) bool array
+        Rows with ``valid = False`` (multi-host shard padding) are excluded
+        from every neighbor count; their own returned weight is meaningless
+        and must be masked by the caller.
     """
     n, l = msa.shape
     blk = min(block, max(8, n))
@@ -116,7 +129,12 @@ def sequence_weights(
     thr = float(seqid) * l
     # Crossover measured on v5e: XLA wins below ~10k sequences (the Pallas
     # launch has ~10 ms fixed cost), Pallas wins 1.6-3.3x above it.
-    if USE_PALLAS and _on_tpu() and n >= 8192:
+    if valid is not None:
+        sims = _sequence_weights_impl(
+            msa, jnp.float32(thr), q, blk, jnp.asarray(valid), has_valid=True
+        )
+        sims = jnp.maximum(sims, 1)  # pad rows: avoid 1/0; caller masks them
+    elif USE_PALLAS and _on_tpu() and n >= 8192:
         sims = _pallas_counts(msa, thr, q)
     else:
         sims = _sequence_weights_impl(msa, jnp.float32(thr), q, blk)
