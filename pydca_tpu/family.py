@@ -80,18 +80,36 @@ class FamilyBatch:
         return self.data.shape[1]
 
 
-@functools.partial(jax.jit, static_argnames=("q",))
-def _family_weights_impl(data, thr, seq_mask, q: int):
+@functools.partial(jax.jit, static_argnames=("q", "block"))
+def _family_weights_impl(data, thr, seq_mask, q: int, block: int = 2048):
+    """Per-family reweighting with the identity-count matmul *blocked* over
+    row tiles, like :func:`pydca_tpu.stats._sequence_weights_impl`: only a
+    ``(block, Nmax)`` tile of the similarity matrix is ever live (per vmap
+    lane), so deep family batches never materialize (Nmax, Nmax) buffers.
+
+    Padded rows one-hot to all-zeros (pad token = q), so their identity
+    count against anything is 0 < thr and they never count as neighbors.
+    """
+
     def one_family(msa_f, thr_f, mask_f):
-        x = jax.nn.one_hot(msa_f, q, dtype=jnp.float32).reshape(msa_f.shape[0], -1)
-        counts = (
-            jax.lax.dot_general(
-                x, x, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+        n = msa_f.shape[0]
+        x = jax.nn.one_hot(msa_f, q, dtype=jnp.int8).reshape(n, -1)
+        nblocks = -(-n // block)
+        npad = nblocks * block
+        xp = jnp.pad(x, ((0, npad - n), (0, 0)))
+
+        def body(carry, xi):
+            counts = jax.lax.dot_general(
+                xi, x, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (block, Nmax) int32 — exact
+            sims = jnp.sum(
+                (counts.astype(jnp.float32) > thr_f).astype(jnp.int32), axis=1
             )
-            > thr_f
-        ).astype(jnp.float32)
-        sims = jnp.sum(counts, axis=1)
+            return carry, sims
+
+        _, sims = jax.lax.scan(body, None, xp.reshape(nblocks, block, -1))
+        sims = sims.reshape(npad)[:n].astype(jnp.float32)
         return jnp.where(mask_f, 1.0 / jnp.maximum(sims, 1.0), 0.0)
 
     return jax.vmap(one_family)(data, thr, seq_mask)

@@ -240,18 +240,37 @@ class MeanFieldDCA:
         An explicit ``corr_mat`` (reference signature,
         ``meanfield_dca.py:555-585``) bypasses the cache.
 
-        Reference inverts with LU (``msa_numerics.py:321-342``); C is SPD so a
-        Cholesky solve is used here (falls back to LU if factorization fails).
+        Reference inverts with LU (``msa_numerics.py:321-342``); C is SPD by
+        construction so a Cholesky-based inverse is used here.  Under jit a
+        failed Cholesky returns NaNs silently, so the result is checked and
+        falls back to an LU inverse (with a warning) for non-SPD /
+        ill-conditioned C — possible at very low Meff or tiny pseudocount.
         """
         if corr_mat is not None:
-            return -_spd_inverse(jnp.asarray(corr_mat).astype(self.dtype))
+            return self._inverse_with_fallback(
+                jnp.asarray(corr_mat).astype(self.dtype)
+            )
         if self.__couplings is None:
             with self.timers.stage("couplings"):
                 c = self.construct_corr_mat().astype(self.dtype)
-                couplings = -_spd_inverse(c)
+                couplings = self._inverse_with_fallback(c)
                 couplings.block_until_ready()
                 self.__couplings = couplings
         return self.__couplings
+
+    @staticmethod
+    def _inverse_with_fallback(c: jax.Array) -> jax.Array:
+        couplings = -_spd_inverse(c)
+        # cheap device-side reduction; NaNs propagate to every entry of the
+        # SYRK so checking one corner would also do, but be thorough
+        if not bool(jnp.isfinite(couplings[0, 0])):
+            logger.warning(
+                "Cholesky factorization produced non-finite couplings "
+                "(C not numerically SPD; low Meff or tiny pseudocount?); "
+                "falling back to an LU inverse"
+            )
+            couplings = -jnp.linalg.inv(c)
+        return couplings
 
     def coupling_blocks(self) -> jax.Array:
         """Per-pair coupling blocks (P, q-1, q-1) for i < j in pair order."""

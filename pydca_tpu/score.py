@@ -76,12 +76,19 @@ def _fn_matrix_sq(couplings: jax.Array, l: int, qm1: int) -> jax.Array:
     rs = jnp.sum(j4, axis=3)  # (L, n, L): row sums of block (i, j)
     cs = jnp.sum(j4, axis=1)  # (L, L, n): column sums
     tot = jnp.sum(rs, axis=1)  # (L, L)
-    return (
-        sq
-        - jnp.sum(rs * rs, axis=1) / n
-        - jnp.sum(cs * cs, axis=2) / n
-        + (tot * tot) / (n * n)
+    # The final subtraction is cancellation-prone for weak pairs (the four
+    # terms are large and nearly equal); combine the (L, L)-reduced terms in
+    # float64 — cheap (O(L^2) elements), and exact inner accumulations are
+    # not the issue.  x64 may be disabled (TPU default): jnp falls back to
+    # f32 there, which matches the previous behavior.
+    acc = jnp.float64 if jax.config.jax_enable_x64 else couplings.dtype
+    out = (
+        sq.astype(acc)
+        - jnp.sum(rs * rs, axis=1).astype(acc) / n
+        - jnp.sum(cs * cs, axis=2).astype(acc) / n
+        + (tot * tot).astype(acc) / (n * n)
     )
+    return out.astype(couplings.dtype)
 
 
 def frobenius_norms_from_matrix(couplings: jax.Array, l: int, qm1: int) -> jax.Array:

@@ -146,3 +146,15 @@ def test_frobenius_norms_from_matrix_matches_blocks():
         score_mod.frobenius_norms_from_matrix(jnp.asarray(m), l, qm1)
     )
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_couplings_lu_fallback_on_non_spd():
+    """A non-SPD corr_mat silently NaNs under jitted Cholesky; the engine
+    must detect it and fall back to an LU inverse (ADVICE round 1)."""
+    import jax.numpy as jnp
+    from pydca_tpu.meanfield import MeanFieldDCA
+
+    c = jnp.asarray(np.diag([1.0, -2.0, 3.0, -4.0]))
+    out = np.asarray(MeanFieldDCA._inverse_with_fallback(c))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, -np.diag([1.0, -0.5, 1 / 3, -0.25]), rtol=1e-6)
