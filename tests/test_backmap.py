@@ -187,3 +187,40 @@ def test_backmap_variant_offsets_consistent(variant_mappings):
     shared = [c for c in m1 if c in m4 and 4 <= m1[c] < 87]
     assert len(shared) > 40
     assert all(m4[c] == m1[c] - 4 for c in shared)
+
+
+# ---------------------------------------------------------------- golden pins
+REF_BACKMAP_CASES = {
+    "rf00167": (RF00167, "/root/reference/examples/ref_RF00167.fa", "rna"),
+    "pf02826": (PF02826, PF02826_REF, "protein"),
+    "rf00059": (RF00059, RF00059_REF, "rna"),
+    **{
+        f"rf00059_test{k}": (
+            RF00059,
+            f"/root/reference/tests/tests_input/ref_seq_RF00059_test{k}.faa",
+            "rna",
+        )
+        for k in (1, 2, 3, 4)
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(REF_BACKMAP_CASES))
+def test_backmap_matches_reference_golden(name):
+    """Pin map_to_reference_sequence exactly against the reference
+    backmapper's walk (goldens from scripts/gen_backmap_goldens.py, which
+    executes the reference code with only the alignment engine stubbed)."""
+    import os
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "goldens", "ref_backmap.npz")
+    )
+    msa_file, refseq_file, biomolecule = REF_BACKMAP_CASES[name]
+    bm = SequenceBackmapper(
+        msa_file=msa_file, refseq_file=refseq_file, biomolecule=biomolecule
+    )
+    mapping = bm.map_to_reference_sequence()
+    keys = np.array(sorted(mapping), dtype=np.int32)
+    vals = np.array([mapping[k] for k in keys], dtype=np.int32)
+    np.testing.assert_array_equal(keys, golden[f"{name}_msa_sites"])
+    np.testing.assert_array_equal(vals, golden[f"{name}_ref_sites"])
