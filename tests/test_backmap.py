@@ -224,3 +224,40 @@ def test_backmap_matches_reference_golden(name):
     vals = np.array([mapping[k] for k in keys], dtype=np.int32)
     np.testing.assert_array_equal(keys, golden[f"{name}_msa_sites"])
     np.testing.assert_array_equal(vals, golden[f"{name}_ref_sites"])
+
+
+TRIM_CASES = {
+    "rf00059_refseq": (RF00059, RF00059_REF, "rna"),
+    "rf00167_refseq": (RF00167, "/root/reference/examples/ref_RF00167.fa", "rna"),
+    "pf02826_refseq": (PF02826, PF02826_REF, "protein"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TRIM_CASES))
+@pytest.mark.parametrize("remove_all_gaps", [False, True])
+def test_trim_by_refseq_matches_reference_golden(name, remove_all_gaps):
+    """Pin trim_by_refseq column selection exactly against the reference
+    trimmer (goldens from scripts/gen_trim_goldens.py)."""
+    import os
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "goldens", "ref_trim.npz")
+    )
+    msa_file, refseq_file, biomolecule = TRIM_CASES[name]
+    tr = MSATrimmer(msa_file, biomolecule=biomolecule, refseq_file=refseq_file)
+    cols = np.asarray(tr.trim_by_refseq(remove_all_gaps=remove_all_gaps), np.int32)
+    key = f"{name}_cols_all" if remove_all_gaps else f"{name}_cols"
+    np.testing.assert_array_equal(cols, golden[key])
+
+
+@pytest.mark.parametrize("key,max_gap", [("rf00167", 0.5), ("pf02826", 0.4)])
+def test_trim_by_gap_size_matches_reference_golden(key, max_gap):
+    import os
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "goldens", "ref_trim.npz")
+    )
+    msa_file, _, biomolecule = TRIM_CASES[key + "_refseq"]
+    tr = MSATrimmer(msa_file, biomolecule=biomolecule, max_gap=max_gap)
+    cols = np.asarray(tr.trim_by_gap_size(), np.int32)
+    np.testing.assert_array_equal(cols, golden[f"{key}_gap{int(max_gap*100)}_cols"])
