@@ -130,6 +130,11 @@ def bench_mfu(msa, m, w, lam):
     value_and_grad evaluation.  Elementwise softmax/regularizer FLOPs are
     excluded (model FLOPs, not hardware FLOPs), so this slightly
     *understates* utilization.
+
+    Timed as a K-rep fori_loop INSIDE one jit: host-side per-call timing
+    over the device tunnel includes ~10-25 ms dispatch latency, which at a
+    ~2.4 ms kernel would understate MFU ~10x (scripts/profile_plm.py shows
+    the breakdown).
     """
     import jax
     import jax.numpy as jnp
@@ -138,23 +143,22 @@ def bench_mfu(msa, m, w, lam):
 
     l, q = msa.seqs_len, msa.q
     n = m.shape[0]
-    pidx = None  # _plm_loss_prepped path does not need pair indices
     x, maskq = plm_mod._prep_msa(m, l, q, jnp.float32)
     theta0 = plm_mod.init_params(m, w, l, q)
-    grad_fn = jax.jit(
-        jax.value_and_grad(plm_mod._plm_loss_prepped),
-        static_argnames=("l", "q", "mm_bf16"),
-    )
+    grad_fn = jax.value_and_grad(plm_mod._plm_loss_prepped)
+    reps = 30
 
-    def run():
-        fx, g = grad_fn(theta0, x, maskq, w, lam, lam, l, q, False)
-        g.block_until_ready()
+    @jax.jit
+    def run(theta):
+        def step(i, acc):
+            fx, g = grad_fn(theta + 0.0 * acc, x, maskq, w, lam, lam, l, q)
+            return acc + fx + g[0]
 
-    run()  # compile
-    reps = 10
+        return jax.lax.fori_loop(0, reps, step, jnp.float32(0))
+
+    run(theta0).block_until_ready()  # compile
     t0 = time.time()
-    for _ in range(reps):
-        run()
+    run(theta0).block_until_ready()
     dt = (time.time() - t0) / reps
     flops = 4.0 * n * (l * q) ** 2
     tflops = flops / dt / 1e12
