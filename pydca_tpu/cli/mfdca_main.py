@@ -95,7 +95,13 @@ def execute_from_command_line(
             refseq_file=refseq_file,
             biomolecule=inst.biomolecule,
         )
-    param_metadata = dca_utilities.mfdca_param_metadata(inst)
+    # Deferred: metadata includes Meff (= the weights), which the fused
+    # pipeline program computes together with the scores; building it up
+    # front would compile and dispatch a separate weights-only device
+    # program first.  Each branch calls this after its compute.
+    def param_metadata():
+        return dca_utilities.mfdca_param_metadata(inst)
+
     if not output_dir:
         base, _ = os.path.splitext(os.path.basename(msa_file))
         output_dir = "MFDCA_output_" + base
@@ -115,7 +121,7 @@ def execute_from_command_line(
                 output_dir, msa_file, prefix="MFDCA_raw_di_scores_", postfix=".txt"
             )
         dca_utilities.write_sorted_dca_scores(
-            path, sorted_di, metadata=param_metadata, score_type=score_type
+            path, sorted_di, metadata=param_metadata(), score_type=score_type
         )
 
     if the_command == "compute_fn":
@@ -132,12 +138,12 @@ def execute_from_command_line(
                 output_dir, msa_file, prefix="MFDCA_raw_fn_scores_", postfix=".txt"
             )
         dca_utilities.write_sorted_dca_scores(
-            path, sorted_fn, metadata=param_metadata, score_type=score_type
+            path, sorted_fn, metadata=param_metadata(), score_type=score_type
         )
 
     if the_command == "compute_fields":
         fields = inst.compute_fields()
-        metadata = param_metadata + dca_utilities.residue_repr_metadata(
+        metadata = param_metadata() + dca_utilities.residue_repr_metadata(
             inst.biomolecule
         )
         path = dca_utilities.get_dca_output_file_path(
@@ -155,7 +161,7 @@ def execute_from_command_line(
         path = dca_utilities.get_dca_output_file_path(
             output_dir, msa_file, prefix="fields_", postfix=".txt"
         )
-        meta = list(param_metadata)
+        meta = list(param_metadata())
         meta.append(
             "#\tTotal number of sites whose fields are extracted: {}".format(
                 len(fields)
@@ -165,7 +171,7 @@ def execute_from_command_line(
         path = dca_utilities.get_dca_output_file_path(
             output_dir, msa_file, prefix="couplings_", postfix=".txt"
         )
-        meta = list(param_metadata)
+        meta = list(param_metadata())
         meta.append(
             "#\tTotal number of site pairs whose couplings are extracted: {}".format(
                 len(couplings)
@@ -185,7 +191,7 @@ def execute_from_command_line(
 
     if the_command == "compute_fi":
         fi = inst.get_reg_single_site_freqs()
-        metadata = param_metadata + dca_utilities.residue_repr_metadata(
+        metadata = param_metadata() + dca_utilities.residue_repr_metadata(
             inst.biomolecule
         )
         path = dca_utilities.get_dca_output_file_path(
@@ -201,7 +207,7 @@ def execute_from_command_line(
 
     if the_command == "compute_fij":
         fij = inst.get_reg_pair_site_freqs()
-        metadata = param_metadata + dca_utilities.residue_repr_metadata(
+        metadata = param_metadata() + dca_utilities.residue_repr_metadata(
             inst.biomolecule
         )
         path = dca_utilities.get_dca_output_file_path(

@@ -47,6 +47,18 @@ def build_parser() -> argparse.ArgumentParser:
             help="stream the loss over sequence blocks of this size "
             "(auto-enabled for very deep alignments)",
         )
+        sp.add_argument(
+            "--precision",
+            choices=["auto", "bfloat16", "float32"],
+            help="matmul operand precision (default auto: bfloat16 on TPU, "
+            "float32 elsewhere; accumulation is always float32)",
+        )
+        sp.add_argument(
+            "--checkpoint",
+            metavar="PATH",
+            help="periodically save the optimizer state to PATH and resume "
+            "from it if it exists",
+        )
         sp.add_argument("--refseq_file")
         sp.add_argument("--output_dir")
         sp.add_argument("--verbose", action="store_true")
@@ -78,6 +90,8 @@ def execute_from_command_line(
     linear_dist=None,
     num_site_pairs=None,
     seq_block=None,
+    precision=None,
+    checkpoint=None,
 ):
     if verbose:
         configure_logging()
@@ -91,6 +105,8 @@ def execute_from_command_line(
         num_threads=num_threads,
         verbose=verbose,
         seq_block=seq_block,
+        precision=precision,
+        checkpoint_path=checkpoint,
     )
     seqbackmapper = None
     if refseq_file:
@@ -190,6 +206,8 @@ def run_plm_dca(argv=None):
         num_threads=args.num_threads,
         refseq_file=args.refseq_file,
         seq_block=args.seq_block,
+        precision=args.precision,
+        checkpoint=args.checkpoint,
         verbose=args.verbose,
         output_dir=args.output_dir,
         apc=args.apc,

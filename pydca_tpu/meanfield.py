@@ -14,6 +14,7 @@ over all L(L-1)/2 pairs at once (:mod:`pydca_tpu.score`).
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Dict, List, Optional, Tuple
 
@@ -69,6 +70,34 @@ def _as_msa(msa, biomolecule: str) -> MSA:
         raise MeanFieldDCAException(f"cannot interpret MSA input: {exc}") from exc
 
 
+@functools.partial(
+    jax.jit, static_argnames=("l", "q", "seqid", "pseudocount", "dtype")
+)
+def _mf_fused_pipeline(msa, l: int, q: int, seqid: float, pseudocount: float, dtype):
+    """The whole mfDCA FN pipeline as ONE device program.
+
+    weights -> gram -> correlation matrix -> couplings (-C^{-1}) -> raw FN
+    and FN-APC scores.  Fusing matters on tunneled/remote devices: a cold
+    CLI run compiles one program and crosses the host<->device boundary
+    once, instead of paying per-program compile + dispatch latency for the
+    six staged kernels (the staged methods remain for API parity and for
+    explicit-frequency inputs).
+
+    Returns ``(weights, couplings, fn_raw, fn_apc)``.
+    """
+    from . import score as _score
+
+    w = stats.sequence_weights(msa, seqid, q, dtype=dtype)
+    gram = stats.weighted_gram(msa, w, q)
+    fi = jnp.diagonal(gram).reshape(l, q)
+    fi_reg = stats.regularize_fi(fi, q, pseudocount)
+    c = stats.corr_mat_from_gram(gram, fi_reg, pseudocount, l, q).astype(dtype)
+    couplings = -linalg.spd_inverse(c)
+    fn_raw = _score.frobenius_norms_from_matrix(couplings, l, q - 1)
+    fn_apc = _score.apc(fn_raw, l)
+    return w, couplings, fn_raw, fn_apc
+
+
 class MeanFieldDCA:
     """Mean-field Direct Coupling Analysis.
 
@@ -115,6 +144,8 @@ class MeanFieldDCA:
         self.__weights: Optional[jax.Array] = None
         self.__gram: Optional[jax.Array] = None
         self.__couplings: Optional[jax.Array] = None
+        self.__fn_raw: Optional[jax.Array] = None
+        self.__fn_apc: Optional[jax.Array] = None
         self.__refseq_mapping_dict = None
         self.timers = StageTimers()
 
@@ -251,12 +282,41 @@ class MeanFieldDCA:
                 jnp.asarray(corr_mat).astype(self.dtype)
             )
         if self.__couplings is None:
-            with self.timers.stage("couplings"):
-                c = self.construct_corr_mat().astype(self.dtype)
-                couplings = self._inverse_with_fallback(c)
-                couplings.block_until_ready()
-                self.__couplings = couplings
+            self._run_fused_pipeline()
         return self.__couplings
+
+    def _run_fused_pipeline(self) -> None:
+        """Populate the weights/couplings/FN caches with ONE device program.
+
+        Falls back to the staged LU path when C is not numerically SPD
+        (the fused program's Cholesky then yields NaNs).
+        """
+        with self.timers.stage("pipeline"):
+            w, couplings, fn_raw, fn_apc = _mf_fused_pipeline(
+                jnp.asarray(self.msa.data, jnp.int32),
+                self.msa.seqs_len,
+                self.msa.q,
+                self.__seqid,
+                self.__pseudocount,
+                self.dtype,
+            )
+            couplings.block_until_ready()
+        self.timers.add_rate("pipeline", self.msa.num_seqs, "seqs")
+        self.__weights = w
+        if not bool(jnp.isfinite(couplings[0, 0])):
+            logger.warning(
+                "Cholesky factorization produced non-finite couplings "
+                "(C not numerically SPD; low Meff or tiny pseudocount?); "
+                "falling back to an LU inverse"
+            )
+            c = self.construct_corr_mat().astype(self.dtype)
+            self.__couplings = -jnp.linalg.inv(c)
+            self.__fn_raw = None
+            self.__fn_apc = None
+            return
+        self.__couplings = couplings
+        self.__fn_raw = fn_raw
+        self.__fn_apc = fn_apc
 
     @staticmethod
     def _inverse_with_fallback(c: jax.Array) -> jax.Array:
@@ -335,8 +395,12 @@ class MeanFieldDCA:
     def _fn_scores(self) -> jax.Array:
         # Block-reduction FN straight off the coupling matrix: avoids the
         # (L,L,q',q') transpose + P-block gather of coupling_blocks().
+        # Usually already computed by the fused pipeline program.
+        couplings = self.compute_couplings()
+        if self.__fn_raw is not None:
+            return self.__fn_raw
         return score_mod.frobenius_norms_from_matrix(
-            self.compute_couplings(), self.msa.seqs_len, self.msa.q - 1
+            couplings, self.msa.seqs_len, self.msa.q - 1
         )
 
     def _di_scores(self) -> jax.Array:
@@ -355,7 +419,10 @@ class MeanFieldDCA:
 
     def compute_sorted_FN_APC(self, seqbackmapper=None):
         fn = self._fn_scores()
-        apc = score_mod.apc(fn, self.msa.seqs_len)
+        if self.__fn_apc is not None:
+            apc = self.__fn_apc
+        else:
+            apc = score_mod.apc(fn, self.msa.seqs_len)
         res = score_mod.sorted_scores(np.asarray(apc), self.msa.seqs_len)
         if seqbackmapper is not None:
             res = self._map_scores(res, seqbackmapper)

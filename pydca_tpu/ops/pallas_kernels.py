@@ -37,7 +37,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ------------------------------------------------------------ identity counts
-def _identity_kernel(thr_ref, xi_ref, xj_ref, out_ref):
+def _identity_kernel(thr_ref, xi_ref, xj_ref, valid_ref, out_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -50,11 +50,10 @@ def _identity_kernel(thr_ref, xi_ref, xj_ref, out_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (BI, BJ)
-    sim = jnp.sum(
-        (counts.astype(jnp.float32) > thr_ref[0, 0]).astype(jnp.int32),
-        axis=1,
-        keepdims=True,
-    )
+    ind = (counts.astype(jnp.float32) > thr_ref[0, 0]).astype(jnp.int32)
+    # valid_ref: (1, BJ) 0/1 column mask — invalid (pad) rows never count
+    # as neighbors of anyone
+    sim = jnp.sum(ind * valid_ref[:], axis=1, keepdims=True)
     out_ref[:] = out_ref[:] + sim
 
 
@@ -62,19 +61,27 @@ def identity_counts(
     onehot: jax.Array,
     thr: float,
     *,
+    valid: jax.Array | None = None,
     block: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """#{j : identity(i, j) > thr} for every row i.
 
     ``onehot``: (N, K) int8 one-hot alignment (K = L*q); zero-padded rows
-    contribute no matches.  Returns (N,) int32.
+    contribute no matches.  ``valid``: optional (N,) bool mask — rows with
+    ``valid = False`` (multi-host shard padding) are excluded from every
+    neighbor count.  Returns (N,) int32.
     """
     n, k = onehot.shape
     bi = min(block, _round_up(n, 32))
     npad = _round_up(n, bi)
     kpad = _round_up(k, 128)
     x = jnp.pad(onehot, ((0, npad - n), (0, kpad - k)))
+    if valid is None:
+        v = jnp.ones((n,), jnp.int32)
+    else:
+        v = valid.astype(jnp.int32)
+    v = jnp.pad(v, (0, npad - n)).reshape(1, npad)
     grid = (npad // bi, npad // bi)
     thr_arr = jnp.array([[thr]], jnp.float32)
     out = pl.pallas_call(
@@ -90,6 +97,9 @@ def identity_counts(
                 pl.BlockSpec(
                     (bi, kpad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
                 ),
+                pl.BlockSpec(
+                    (1, bi), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (bi, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
@@ -97,7 +107,7 @@ def identity_counts(
         ),
         out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.int32),
         interpret=interpret,
-    )(thr_arr, x, x)
+    )(thr_arr, x, x, v)
     return out[:n, 0]
 
 

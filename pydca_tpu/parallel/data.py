@@ -63,6 +63,8 @@ class LocalShard:
     data: np.ndarray  # (n_local, L) int8
     ids: List[str]
     global_index: np.ndarray  # (n_local,) int64, position in global file order
+    seqs_len: int = 0  # L; known even when this process owns zero rows
+                       # (0 only if it could not be determined locally)
 
 
 @dataclass
@@ -111,40 +113,83 @@ def _row_hashes(data: np.ndarray) -> np.ndarray:
     return out
 
 
+def _peek_seq_len(path: str) -> int:
+    """Length of the first record in a FASTA file (wrapped lines joined);
+    0 if the file is unreadable or empty."""
+    try:
+        parts: List[str] = []
+        with open(path) as fh:
+            started = False
+            for line in fh:
+                line = line.strip()
+                if line.startswith(">"):
+                    if started:
+                        break
+                    started = True
+                elif started:
+                    parts.append(line)
+        return len("".join(parts))
+    except OSError:
+        return 0
+
+
 def load_local_shard(
     files: Union[str, Sequence[str]],
     biomolecule: str,
     process_id: int,
     num_processes: int,
+    *,
+    file_counts: Optional[Sequence[int]] = None,
 ) -> LocalShard:
     """Parse and encode only this process's slice of the input.
 
     ``files`` as a list: shard files are assigned round-robin
     (``files[process_id::num_processes]``) and each process opens only its
-    own — the global order is (file index, record index).  ``files`` as a
-    single path: every process parses the text but encodes/retains only
-    records ``r`` with ``r % num_processes == process_id``.
+    own for loading — the global order is (file index, record index).
+    Without ``file_counts``, every process additionally opens *all* shard
+    files once to count ``>`` headers (O(total corpus bytes) per host);
+    pass precomputed per-file record counts (e.g. from a manifest, or
+    all-gathered — :func:`read_msa_distributed` does the latter) to keep
+    IO strictly host-local.  ``files`` as a single path: every process
+    parses the text but encodes/retains only records ``r`` with
+    ``r % num_processes == process_id``.
+
+    A process owning zero rows still reports ``seqs_len`` when it can
+    determine L locally (first record of the first shard file); in a true
+    multi-host layout where that file is absent, ``seqs_len`` is 0 and
+    :func:`read_msa_distributed` recovers it with an all-gather.
     """
     alphabet = get_alphabet(biomolecule)
     ids: List[str] = []
     seqs: List[str] = []
     gidx: List[int] = []
+    seqs_len = 0
 
     if isinstance(files, str):
         with open(files) as fh:
             all_ids, all_seqs = parse_fasta(fh.read())
+        if all_seqs:
+            seqs_len = len(all_seqs[0])
         for r in range(process_id, len(all_seqs), num_processes):
             ids.append(all_ids[r])
             seqs.append(all_seqs[r])
             gidx.append(r)
     else:
         files = list(files)
-        # global record order: file-major — count records per file first so
-        # indices are consistent across processes without communication
-        counts = []
-        for f in files:
-            with open(f) as fh:
-                counts.append(sum(1 for line in fh if line.startswith(">")))
+        # global record order: file-major — per-file record counts make
+        # indices consistent across processes without communication
+        if file_counts is None:
+            counts = []
+            for f in files:
+                with open(f) as fh:
+                    counts.append(sum(1 for line in fh if line.startswith(">")))
+        else:
+            counts = [int(c) for c in file_counts]
+            if len(counts) != len(files):
+                raise ValueError(
+                    f"file_counts has {len(counts)} entries for "
+                    f"{len(files)} files"
+                )
         offsets = np.concatenate([[0], np.cumsum(counts)])
         for fi in range(process_id, len(files), num_processes):
             with open(files[fi]) as fh:
@@ -157,16 +202,22 @@ def load_local_shard(
             ids.extend(f_ids)
             seqs.extend(f_seqs)
             gidx.extend(range(offsets[fi], offsets[fi] + counts[fi]))
+        if not seqs and files:
+            seqs_len = _peek_seq_len(files[0])
 
     if seqs:
         lengths = {len(s) for s in seqs}
         if len(lengths) != 1:
             raise ValueError(f"inconsistent sequence lengths {sorted(lengths)}")
+        seqs_len = lengths.pop()
         data = alphabet.encode_many(seqs)
-    else:  # a process may own zero shards
-        data = np.zeros((0, 0), dtype=np.int8)
+    else:  # a process may own zero shards: shape (0, L) so padding works
+        data = np.zeros((0, seqs_len), dtype=np.int8)
     return LocalShard(
-        data=data, ids=ids, global_index=np.asarray(gidx, dtype=np.int64)
+        data=data,
+        ids=ids,
+        global_index=np.asarray(gidx, dtype=np.int64),
+        seqs_len=seqs_len,
     )
 
 
@@ -197,23 +248,42 @@ def global_dedup_keep(
     )
 
 
-def _allgather_varlen(local: np.ndarray, num_processes: int):
-    """All-gather variable-length per-process arrays (pad to max count).
-
-    Uses ``jax.experimental.multihost_utils.process_allgather``; with one
-    process this is the identity.
-    """
-    if num_processes == 1:
-        return [local]
+def _default_allgather(local: np.ndarray) -> List[np.ndarray]:
+    """All-gather one per-process array via the real JAX process topology."""
     from jax.experimental import multihost_utils
 
+    nproc = jax.process_count()
     n_local = np.asarray([local.shape[0]], dtype=np.int64)
     counts = multihost_utils.process_allgather(n_local).reshape(-1)
     n_max = int(counts.max())
     pad = np.zeros((n_max - local.shape[0],) + local.shape[1:], local.dtype)
     padded = np.concatenate([local, pad], axis=0)
     gathered = multihost_utils.process_allgather(padded)
-    return [gathered[p, : int(counts[p])] for p in range(num_processes)]
+    return [gathered[p, : int(counts[p])] for p in range(nproc)]
+
+
+def _allgather_varlen(
+    local: np.ndarray, num_processes: int, allgather_fn=None
+) -> List[np.ndarray]:
+    """All-gather variable-length per-process arrays (pad to max count).
+
+    With one process this is the identity.  ``allgather_fn`` overrides the
+    default ``multihost_utils.process_allgather`` transport (used by tests
+    to pool simulated shards); the default requires the real JAX process
+    topology to match ``num_processes``.
+    """
+    if num_processes == 1:
+        return [local]
+    if allgather_fn is not None:
+        return allgather_fn(local)
+    if jax.process_count() != num_processes:
+        raise RuntimeError(
+            f"num_processes={num_processes} but the JAX runtime has "
+            f"{jax.process_count()} process(es); multi-process simulation "
+            "in a single-process runtime needs an explicit allgather_fn "
+            "(or drive load_local_shard/global_dedup_keep directly)"
+        )
+    return _default_allgather(local)
 
 
 def read_msa_distributed(
@@ -223,28 +293,63 @@ def read_msa_distributed(
     dedup: bool = True,
     process_id: Optional[int] = None,
     num_processes: Optional[int] = None,
+    file_counts: Optional[Sequence[int]] = None,
+    allgather_fn=None,
 ) -> ShardedMSA:
     """Host-local distributed MSA ingestion (see module docstring).
 
-    ``process_id``/``num_processes`` default to the jax runtime's values;
-    pass them explicitly to simulate a multi-process layout in tests.
+    ``process_id``/``num_processes`` default to the jax runtime's values.
+    With ``num_processes > 1`` the cross-process gathers use the real JAX
+    process topology; to *simulate* a multi-process layout in a
+    single-process runtime, pass ``allgather_fn`` (a callable pooling each
+    simulated process's array) — or drive :func:`load_local_shard` /
+    :func:`global_dedup_keep` directly, as the unit tests do.
+
+    ``file_counts``: precomputed per-file record counts (manifest).  When
+    absent and ``files`` is a list, each process counts only the files it
+    owns and the counts are all-gathered (16 bytes/file), keeping ingest IO
+    strictly host-local.
     """
     pid = jax.process_index() if process_id is None else int(process_id)
     nproc = jax.process_count() if num_processes is None else int(num_processes)
     alphabet = get_alphabet(biomolecule)
 
-    shard = load_local_shard(files, biomolecule, pid, nproc)
+    if (
+        file_counts is None
+        and nproc > 1
+        and not isinstance(files, str)
+    ):
+        # count only owned files; all-gather (file_index, count) pairs
+        files = list(files)
+        owned_idx = list(range(pid, len(files), nproc))
+        pairs = np.zeros((len(owned_idx), 2), dtype=np.int64)
+        for row, fi in enumerate(owned_idx):
+            with open(files[fi]) as fh:
+                pairs[row] = (fi, sum(1 for ln in fh if ln.startswith(">")))
+        all_pairs = np.concatenate(
+            _allgather_varlen(pairs, nproc, allgather_fn), axis=0
+        )
+        counts_full = np.zeros(len(files), dtype=np.int64)
+        counts_full[all_pairs[:, 0]] = all_pairs[:, 1]
+        file_counts = counts_full
+
+    shard = load_local_shard(
+        files, biomolecule, pid, nproc, file_counts=file_counts
+    )
     keep = np.ones(shard.data.shape[0], dtype=bool)
-    if dedup and shard.data.size:
+    if dedup:
+        # NB: with nproc > 1 even a zero-row process must join the gathers
+        # (they are collectives — skipping them would desynchronize ranks)
         hashes = _row_hashes(shard.data)
         if nproc == 1:
-            keep = global_dedup_keep(
-                hashes, shard.global_index, hashes, shard.global_index
-            )
+            if shard.data.size:
+                keep = global_dedup_keep(
+                    hashes, shard.global_index, hashes, shard.global_index
+                )
         else:
-            h_parts = _allgather_varlen(hashes, nproc)
+            h_parts = _allgather_varlen(hashes, nproc, allgather_fn)
             i_parts = _allgather_varlen(
-                shard.global_index.reshape(-1, 1), nproc
+                shard.global_index.reshape(-1, 1), nproc, allgather_fn
             )
             all_h = np.concatenate(h_parts, axis=0)
             all_i = np.concatenate([p.reshape(-1) for p in i_parts], axis=0)
@@ -254,17 +359,25 @@ def read_msa_distributed(
     ids = [shard.ids[k] for k in np.nonzero(keep)[0]]
     n_local = data.shape[0]
 
-    # common padded per-process count (max across processes)
+    # common padded per-process count (max across processes); also agree on
+    # L so a zero-row process pads to (n_pad, L), not (n_pad, 0)
     if nproc == 1:
         n_pad, n_global = n_local, n_local
+        seqs_len = shard.seqs_len
     else:
-        from jax.experimental import multihost_utils
-
-        counts = multihost_utils.process_allgather(
-            np.asarray([n_local], dtype=np.int64)
-        ).reshape(-1)
-        n_pad, n_global = int(counts.max()), int(counts.sum())
-    seqs_len = data.shape[1] if data.size else 0
+        stats_local = np.asarray([[n_local, shard.seqs_len]], dtype=np.int64)
+        gathered = np.concatenate(
+            _allgather_varlen(stats_local, nproc, allgather_fn), axis=0
+        )
+        n_pad, n_global = int(gathered[:, 0].max()), int(gathered[:, 0].sum())
+        lens = set(int(x) for x in gathered[:, 1] if int(x) > 0)
+        if len(lens) > 1:
+            raise ValueError(
+                f"inconsistent sequence lengths across processes: {sorted(lens)}"
+            )
+        seqs_len = lens.pop() if lens else 0
+        if data.shape[1] != seqs_len:
+            data = data.reshape(n_local, seqs_len)  # only possible if n_local=0
     pad_rows = np.full((n_pad - n_local, seqs_len), alphabet.gap_state, np.int8)
     local_data = np.concatenate([data, pad_rows], axis=0)
     local_valid = np.zeros(n_pad, dtype=bool)

@@ -54,6 +54,75 @@ class PlmDCAException(Exception):
     """Errors specific to the plmDCA engine."""
 
 
+def default_mm_bf16() -> bool:
+    """Default matmul precision: bfloat16 operands on TPU (native MXU double
+    rate; ranking parity is CI-tested), float32 elsewhere (bf16 is emulated
+    and slow on CPU, and CPU runs are the parity-test path)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def resolve_precision(precision) -> bool:
+    """Map a user-facing precision name to the ``mm_bf16`` flag.
+
+    ``None``/"auto" -> backend default; "bfloat16"/"bf16" -> True;
+    "float32"/"f32" -> False.
+    """
+    if precision is None or precision == "auto":
+        return default_mm_bf16()
+    if precision in ("bfloat16", "bf16"):
+        return True
+    if precision in ("float32", "f32"):
+        return False
+    raise PlmDCAException(
+        f"invalid precision {precision!r}; choose auto, bfloat16 or float32"
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _logits_mm(x: jax.Array, w2: jax.Array, mm_bf16: bool) -> jax.Array:
+    """``x @ w2`` with optional bfloat16 operands and float32 accumulation.
+
+    Custom VJP: with bf16 operands the backward pass casts the *cotangent*
+    to bfloat16 too, so the gradient matmul also runs at the MXU's double
+    bf16 rate (JAX's default transpose would mix a bf16 operand with the
+    f32 cotangent and fall back to f32 throughput). ``x`` is the constant
+    one-hot alignment — its returned cotangent is a symbolic zero that XLA
+    dead-code-eliminates.
+    """
+    mm_dtype = jnp.bfloat16 if mm_bf16 else x.dtype
+    acc_dtype = jnp.float32 if mm_bf16 else x.dtype
+    return jax.lax.dot_general(
+        x.astype(mm_dtype),
+        w2.astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )
+
+
+def _logits_mm_fwd(x, w2, mm_bf16: bool):
+    # zero-size dtype token: residuals must be JAX types, not dtypes
+    return _logits_mm(x, w2, mm_bf16), (x, jnp.zeros((0,), w2.dtype))
+
+
+def _logits_mm_bwd(mm_bf16: bool, res, ct):
+    x, w2_token = res
+    mm_dtype = jnp.bfloat16 if mm_bf16 else x.dtype
+    acc_dtype = jnp.float32 if mm_bf16 else x.dtype
+    dw2 = jax.lax.dot_general(
+        x.astype(mm_dtype),
+        ct.astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    ).astype(w2_token.dtype)
+    return jnp.zeros_like(x), dw2
+
+
+_logits_mm.defvjp(_logits_mm_fwd, _logits_mm_bwd)
+
+
 # --------------------------------------------------------------- loss function
 @functools.lru_cache(maxsize=None)
 def _triu_pairs(l: int):
@@ -164,17 +233,7 @@ def _plm_loss_prepped(
     jfull = _expand_full(theta[l * q :], l, q)
     # rows (j, b) = contraction side; cols (a, i) = output side
     w2 = jfull.transpose(1, 3, 2, 0).reshape(l * q, q * l)
-    mm_dtype = jnp.bfloat16 if mm_bf16 else dtype
-    logits = (
-        jax.lax.dot_general(
-            x.astype(mm_dtype),
-            w2.astype(mm_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            # accumulate in f32 regardless of input dtype
-            preferred_element_type=dtype,
-        ).reshape(-1, q, l)
-        + h.T[None]
-    )
+    logits = _logits_mm(x, w2, mm_bf16).reshape(-1, q, l) + h.T[None]
     lse = jax.scipy.special.logsumexp(logits, axis=1)  # (N, L)
     picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)  # (N, L)
     nll = jnp.sum(weights[:, None] * (lse - picked))
@@ -206,9 +265,9 @@ def _pad_to_blocks(msa: np.ndarray, weights, block: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("l", "q"))
+@functools.partial(jax.jit, static_argnames=("l", "q", "mm_bf16"))
 def plm_loss_and_grad_chunked(
-    theta, msa_blocks, w_blocks, pidx, lambda_h, lambda_j, l, q
+    theta, msa_blocks, w_blocks, pidx, lambda_h, lambda_j, l, q, mm_bf16=False
 ):
     """Streaming value+grad: ``lax.scan`` over sequence blocks.
 
@@ -227,14 +286,7 @@ def plm_loss_and_grad_chunked(
     def data_term(params, msa_b, w_b):
         h_b, w2_b = params
         x, maskq = _prep_msa(msa_b, l, q, dtype)
-        logits = (
-            jax.lax.dot_general(
-                x, w2_b,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-            ).reshape(-1, q, l)
-            + h_b.T[None]
-        )
+        logits = _logits_mm(x, w2_b, mm_bf16).reshape(-1, q, l) + h_b.T[None]
         lse = jax.scipy.special.logsumexp(logits, axis=1)
         picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
         return jnp.sum(w_b[:, None] * (lse - picked))
@@ -310,7 +362,7 @@ def _plm_lbfgs_state0(
 def _make_loss_fun(msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16):
     if chunked:
         return lambda t: plm_loss_and_grad_chunked(
-            t, msa, weights, pidx, lambda_h, lambda_j, l, q
+            t, msa, weights, pidx, lambda_h, lambda_j, l, q, mm_bf16
         )
     # Encode once per device program: the one-hot MSA and pick mask are
     # loop-invariant across all objective evaluations of an L-BFGS chunk.
@@ -336,7 +388,7 @@ def fit_plm(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
     seq_block: Optional[int] = None,
-    mm_bf16: bool = False,
+    mm_bf16: Optional[bool] = None,
 ):
     """Run the full plmDCA optimization; returns an LBFGSResult.
 
@@ -352,10 +404,14 @@ def fit_plm(
     many sequences per block — use for deep alignments (N ~ 10^5+) whose
     one-hot/logits tensors would not fit in device memory at once.
 
-    ``mm_bf16``: run the logits matmul with bfloat16 inputs (f32
-    accumulation) — double MXU throughput at a small cost in gradient
-    precision; score *rankings* are expected to be preserved.
+    ``mm_bf16``: run the logits matmuls (forward and backward) with
+    bfloat16 operands and f32 accumulation — double MXU throughput at a
+    small cost in gradient precision; score *rankings* are preserved
+    (CI-tested).  ``None`` (default) resolves to True on TPU backends and
+    False elsewhere (:func:`default_mm_bf16`).
     """
+    if mm_bf16 is None:
+        mm_bf16 = default_mm_bf16()
     chunked = seq_block is not None
     if chunked:
         msa, weights = _pad_to_blocks(np.asarray(msa), weights, int(seq_block))
@@ -433,6 +489,7 @@ class PlmDCA:
         verbose: bool = False,
         checkpoint_path: Optional[str] = None,
         seq_block: Optional[int] = None,
+        precision: Optional[str] = None,
     ):
         if isinstance(msa_file, MSA):
             self.msa = msa_file
@@ -455,6 +512,7 @@ class PlmDCA:
             if logits_bytes > (1 << 30):
                 seq_block = max(1024, int((1 << 30) / (4 * l * self.msa.q)))
         self.__seq_block = seq_block
+        self.__mm_bf16 = resolve_precision(precision)
         self.__verbose = bool(verbose)
         self.__checkpoint_path = checkpoint_path
         self.__params: Optional[np.ndarray] = None
@@ -483,6 +541,11 @@ class PlmDCA:
     @property
     def max_iterations(self):
         return self.__max_iterations
+
+    @property
+    def mm_bf16(self) -> bool:
+        """Whether the logits matmuls run with bfloat16 operands."""
+        return self.__mm_bf16
 
     @property
     def sequences_len(self):
@@ -546,6 +609,7 @@ class PlmDCA:
                     progress_fn=_progress,
                     checkpoint_path=self.__checkpoint_path,
                     seq_block=self.__seq_block,
+                    mm_bf16=self.__mm_bf16,
                 )
                 res.x.block_until_ready()
             self.timers.add_rate("fit", int(res.num_iters), "iters")

@@ -47,6 +47,9 @@ _DEFAULT_BLOCK = 2048
 # Pallas kernels are used automatically on TPU backends for large inputs;
 # set to False to force the plain-XLA paths (used by parity tests).
 USE_PALLAS = True
+# Crossover measured on v5e: XLA wins below ~10k sequences (the Pallas
+# launch has ~10 ms fixed cost), Pallas wins 1.6-3.3x above it.
+PALLAS_MIN_N = 8192
 
 
 def _on_tpu() -> bool:
@@ -127,14 +130,18 @@ def sequence_weights(
     blk = min(block, max(8, n))
     # Strict threshold on integer identity counts: iid/L > seqid  <=>  iid > seqid*L
     thr = float(seqid) * l
-    # Crossover measured on v5e: XLA wins below ~10k sequences (the Pallas
-    # launch has ~10 ms fixed cost), Pallas wins 1.6-3.3x above it.
+    # The masked (multi-host) path uses the same Pallas kernel above the
+    # crossover — the mask rides along as a 0/1 column vector.
+    use_pallas = USE_PALLAS and _on_tpu() and n >= PALLAS_MIN_N
     if valid is not None:
-        sims = _sequence_weights_impl(
-            msa, jnp.float32(thr), q, blk, jnp.asarray(valid), has_valid=True
-        )
+        if use_pallas:
+            sims = _pallas_counts(msa, thr, q, jnp.asarray(valid))
+        else:
+            sims = _sequence_weights_impl(
+                msa, jnp.float32(thr), q, blk, jnp.asarray(valid), has_valid=True
+            )
         sims = jnp.maximum(sims, 1)  # pad rows: avoid 1/0; caller masks them
-    elif USE_PALLAS and _on_tpu() and n >= 8192:
+    elif use_pallas:
         sims = _pallas_counts(msa, thr, q)
     else:
         sims = _sequence_weights_impl(msa, jnp.float32(thr), q, blk)
@@ -142,12 +149,12 @@ def sequence_weights(
 
 
 @functools.partial(jax.jit, static_argnames=("q",))
-def _pallas_counts(msa: jax.Array, thr: float, q: int):
+def _pallas_counts(msa: jax.Array, thr: float, q: int, valid=None):
     from .ops.pallas_kernels import identity_counts
 
     n, l = msa.shape
     onehot = jax.nn.one_hot(msa, q, dtype=jnp.int8).reshape(n, l * q)
-    return identity_counts(onehot, thr)
+    return identity_counts(onehot, thr, valid=valid)
 
 
 # ------------------------------------------------------------------ frequencies

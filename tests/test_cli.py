@@ -86,3 +86,37 @@ def test_plmdca_compute_fn_apc(tiny_msa, tmp_path):
     assert files == ["PLMDCA_apc_fn_scores_tiny.txt"]
     scores = _read_scores(os.path.join(out, files[0]))
     assert len(scores) == 12 * 11 // 2
+
+
+def test_plmdca_precision_and_checkpoint_flags(tiny_msa, tmp_path):
+    """--precision and --checkpoint are wired through to the engine."""
+    out = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ck" / "state.npz")
+    run_plm_dca(
+        [
+            "compute_fn", "rna", tiny_msa, "--apc", "--output_dir", out,
+            "--max_iterations", "30", "--precision", "float32",
+            "--checkpoint", ckpt,
+        ]
+    )
+    assert os.path.exists(ckpt)
+    first = _read_scores(os.path.join(out, "PLMDCA_apc_fn_scores_tiny.txt"))
+    # resume from the finished checkpoint: runs 0 extra iterations and
+    # reproduces the same scores
+    out2 = str(tmp_path / "out5")
+    run_plm_dca(
+        [
+            "compute_fn", "rna", tiny_msa, "--apc", "--output_dir", out2,
+            "--max_iterations", "30", "--precision", "float32",
+            "--checkpoint", ckpt,
+        ]
+    )
+    second = _read_scores(os.path.join(out2, "PLMDCA_apc_fn_scores_tiny.txt"))
+    assert first == second
+
+
+def test_plmdca_precision_rejects_garbage(tiny_msa, tmp_path):
+    from pydca_tpu.plm import PlmDCA, PlmDCAException
+
+    with pytest.raises(PlmDCAException):
+        PlmDCA(tiny_msa, "rna", precision="float16")

@@ -167,3 +167,127 @@ def test_distributed_weights_feed_sharded_fit(msa_with_dups):
     np.testing.assert_allclose(
         np.asarray(r_dist.x), np.asarray(r_single.x), rtol=2e-3, atol=2e-3
     )
+
+
+# ---------------------------------------------------------------- r3 additions
+class ThreadedAllgather:
+    """Barrier-based all-gather for simulating P processes with P threads.
+
+    Each simulated process calls its own closure; the closure blocks at a
+    barrier until every process has deposited its array, then returns the
+    full list — the same contract as the real multihost transport.
+    """
+
+    def __init__(self, nproc):
+        import threading
+
+        self.nproc = nproc
+        self.barrier = threading.Barrier(nproc)
+        self.slots = [None] * nproc
+
+    def for_process(self, pid):
+        def allgather(local):
+            self.slots[pid] = local
+            self.barrier.wait()
+            out = list(self.slots)
+            self.barrier.wait()  # don't overwrite slots before all have read
+            return out
+
+        return allgather
+
+
+def _run_distributed_threads(files, nproc, **kwargs):
+    from concurrent.futures import ThreadPoolExecutor
+
+    ag = ThreadedAllgather(nproc)
+    with ThreadPoolExecutor(nproc) as ex:
+        futs = [
+            ex.submit(
+                read_msa_distributed,
+                files,
+                "rna",
+                process_id=p,
+                num_processes=nproc,
+                allgather_fn=ag.for_process(p),
+                **kwargs,
+            )
+            for p in range(nproc)
+        ]
+        return [f.result(timeout=60) for f in futs]
+
+
+def test_zero_shard_process_gets_consistent_shapes(tmp_path, msa_with_dups):
+    """ADVICE r2 (medium): 2 shard files, 4 processes — processes 2-3 own
+    zero files but must still produce (n_pad, L) padded data and join the
+    collectives."""
+    _, rows = msa_with_dups
+    files = []
+    for k, idx in enumerate(np.array_split(np.arange(len(rows)), 2)):
+        f = str(tmp_path / f"z{k}.fa")
+        _write_fasta(f, rows[idx], start=int(idx[0]))
+        files.append(f)
+
+    shards = _run_distributed_threads(files, 4)
+    l = shards[0].seqs_len
+    assert l == rows.shape[1]
+    for s in shards:
+        assert s.seqs_len == l
+        assert s.local_data.shape == (shards[0].local_data.shape[0], l)
+        assert s.local_data.shape[0] >= 0
+    # zero-owners contribute only pad rows
+    assert not shards[2].local_valid.any()
+    assert not shards[3].local_valid.any()
+    # union of valid rows == single-host reader after dedup
+    union = np.concatenate(
+        [s.local_data[s.local_valid] for s in shards], axis=0
+    )
+    whole = str(tmp_path / "whole_z.fa")
+    _write_fasta(whole, rows)
+    ref = read_msa(whole, "rna").data
+    assert {r.tobytes() for r in union} == {r.tobytes() for r in ref}
+    assert union.shape == ref.shape
+    assert shards[0].global_num_seqs == ref.shape[0]
+
+
+def test_owned_only_counting_matches_full_scan(tmp_path, msa_with_dups):
+    """The nproc>1 path counts only owned files and all-gathers counts;
+    results must match the single-process full-scan loader."""
+    _, rows = msa_with_dups
+    files = []
+    for k, idx in enumerate(np.array_split(np.arange(len(rows)), 5)):
+        f = str(tmp_path / f"c{k}.fa")
+        _write_fasta(f, rows[idx], start=int(idx[0]))
+        files.append(f)
+
+    shards = _run_distributed_threads(files, 3)
+    union = np.concatenate(
+        [s.local_data[s.local_valid] for s in shards], axis=0
+    )
+    single = read_msa_distributed(files, "rna", process_id=0, num_processes=1)
+    assert {r.tobytes() for r in union} == {
+        r.tobytes() for r in single.local_data[single.local_valid]
+    }
+
+
+def test_file_counts_manifest_skips_scan(tmp_path):
+    """Explicit file_counts must be honored (and validated during parse)."""
+    rows = (np.arange(24).reshape(8, 3) % 5).astype(np.int8)
+    files = []
+    for k in range(4):
+        f = str(tmp_path / f"m{k}.fa")
+        _write_fasta(f, rows[2 * k : 2 * k + 2], start=2 * k)
+        files.append(f)
+    shard = load_local_shard(files, "rna", 1, 2, file_counts=[2, 2, 2, 2])
+    np.testing.assert_array_equal(shard.global_index, [2, 3, 6, 7])
+    with pytest.raises(ValueError):
+        load_local_shard(files, "rna", 1, 2, file_counts=[2, 3, 2, 2])
+    with pytest.raises(ValueError):
+        load_local_shard(files, "rna", 1, 2, file_counts=[2, 2])
+
+
+def test_simulation_without_allgather_raises(msa_with_dups):
+    """nproc>1 in a single-process runtime without allgather_fn must raise
+    the documented error, not IndexError (ADVICE r2)."""
+    path, _ = msa_with_dups
+    with pytest.raises(RuntimeError, match="allgather_fn"):
+        read_msa_distributed(path, "rna", process_id=0, num_processes=2)

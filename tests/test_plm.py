@@ -196,3 +196,48 @@ def test_fit_plm_seq_block_matches_full():
     np.testing.assert_allclose(
         np.asarray(r2.x), np.asarray(r1.x), rtol=2e-3, atol=2e-3
     )
+
+
+def test_chunked_loss_bf16_close_to_f32():
+    """The streaming path honors mm_bf16 (VERDICT r2: it used to drop it)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pydca_tpu import stats
+    from pydca_tpu.plm import _pad_to_blocks, plm_loss_and_grad_chunked
+
+    rng = np.random.default_rng(7)
+    n, l, q = 24, 7, 5
+    msa = rng.integers(0, q, (n, l)).astype(np.int32)
+    w = jnp.asarray(rng.random(n), jnp.float32)
+    d = l * q + (l * (l - 1) // 2) * q * q
+    theta = jnp.asarray(rng.normal(scale=0.1, size=d), jnp.float32)
+    pidx = jnp.asarray(stats.pair_index_matrix(l))
+    lam = jnp.float32(1.3)
+
+    mb, wb = _pad_to_blocks(msa, w, 8)
+    f32, g32 = plm_loss_and_grad_chunked(theta, mb, wb, pidx, lam, lam, l, q)
+    f16, g16 = plm_loss_and_grad_chunked(
+        theta, mb, wb, pidx, lam, lam, l, q, mm_bf16=True
+    )
+    # bf16 operands, f32 accumulation: ~1e-2 relative agreement expected
+    np.testing.assert_allclose(float(f16), float(f32), rtol=2e-2)
+    cos = float(
+        jnp.vdot(g16, g32) / (jnp.linalg.norm(g16) * jnp.linalg.norm(g32))
+    )
+    assert cos > 0.999
+
+
+def test_resolve_precision():
+    from pydca_tpu.plm import PlmDCAException, resolve_precision
+
+    assert resolve_precision("bfloat16") is True
+    assert resolve_precision("bf16") is True
+    assert resolve_precision("float32") is False
+    assert resolve_precision("f32") is False
+    # on the CPU test backend "auto" resolves to float32
+    assert resolve_precision(None) is False
+    assert resolve_precision("auto") is False
+    import pytest as _pytest
+
+    with _pytest.raises(PlmDCAException):
+        resolve_precision("float16")

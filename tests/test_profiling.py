@@ -33,5 +33,9 @@ def test_engine_timers_populated():
     msa = MSA(data=rng.integers(0, 5, (30, 9)).astype(np.int8), alphabet=RNA)
     inst = MeanFieldDCA(msa, "rna")
     inst.compute_sorted_FN_APC()
-    assert inst.timers.elapsed("weights") > 0
-    assert inst.timers.elapsed("couplings") > 0
+    # the FN path runs as one fused device program
+    assert inst.timers.elapsed("pipeline") > 0
+    # the staged weights path still records its own stage
+    inst2 = MeanFieldDCA(msa, "rna")
+    inst2.get_sequences_weight()
+    assert inst2.timers.elapsed("weights") > 0
