@@ -395,7 +395,15 @@ class DCAVisualizer:
     # --------------------------------------------------------------- contacts
     def get_mapped_pdb_contacts(self):
         """All residue pairs with min heavy-atom distance metadata, keyed by
-        refseq site pairs (``contact_visualizer.py:1300-1372``), vectorized.
+        refseq site pairs (``contact_visualizer.py:1300-1372``).
+
+        Fully vectorized two-stage segment reduction (no per-residue-pair
+        Python loop): stage 1 reduces an all-atom distance block to per
+        (atom, residue) minima via residue-segment argmins; stage 2 reduces
+        over each residue's atom rows.  O(A^2) numpy work in ~128 MB blocks
+        (A = total heavy atoms), then one cheap dict-building pass —
+        tractable at 1000-residue chains where the previous per-pair loop
+        was quadratic Python.
 
         Returns (mapped_residues, residues_not_found_in_pdb); values are
         ``(atom_pair, res_id_1, res_id_2, min_dist)``.
@@ -411,41 +419,63 @@ class DCAVisualizer:
             coords_per_res.append(xyz)
             resids.append(res.resseq)
         n_res = len(residues)
-        counts = np.array([c.shape[0] for c in coords_per_res])
+        counts = np.array([c.shape[0] for c in coords_per_res], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        all_xyz = (
-            np.concatenate([c for c in coords_per_res if len(c)])
-            if n_res
-            else np.zeros((0, 3))
-        )
+        a_total = int(offsets[-1])
         mapped_residues: Dict[Tuple[int, int], tuple] = {}
-        for i in range(n_res - 1):
-            if counts[i] == 0 or i not in mapping:
-                continue
-            xi = coords_per_res[i]  # (ai, 3)
-            rest = all_xyz[offsets[i + 1] :]  # atoms of residues i+1..
-            if rest.shape[0] == 0:
-                continue
-            d2 = ((xi[:, None, :] - rest[None, :, :]) ** 2).sum(axis=2)  # (ai, M)
-            flat = d2.reshape(-1)
-            # per-residue-j minima via reduceat over the flattened (ai*M) is
-            # awkward; instead reduce per j over columns.
-            for j in range(i + 1, n_res):
-                if counts[j] == 0 or j not in mapping:
-                    continue
-                lo, hi = offsets[j] - offsets[i + 1], offsets[j + 1] - offsets[i + 1]
-                block = d2[:, lo:hi]
-                k = int(np.argmin(block))
-                ai, aj = divmod(k, block.shape[1])
-                min_dist = float(np.sqrt(block[ai, aj]))
-                atom_pair = names_per_res[i][ai] + "-" + names_per_res[j][aj]
-                mapped_pair = (mapping[i], mapping[j])
-                mapped_residues[mapped_pair] = (
-                    atom_pair,
-                    resids[i],
-                    resids[j],
-                    min_dist,
-                )
+        if n_res == 0 or a_total == 0:
+            return mapped_residues, not_in_pdb
+        all_xyz = np.concatenate(
+            [c for c in coords_per_res if len(c)]
+        ).astype(np.float32)
+        all_names = [nm for names in names_per_res for nm in names]
+        ne = np.nonzero(counts > 0)[0]  # residues with atoms
+
+        # Stage 1: per atom row a, per residue j: min_b d2(a, b in j) and its
+        # argmin atom.  The inner loop is over residues (O(n_res) iterations
+        # of vectorized work), not residue pairs.
+        m1 = np.full((a_total, n_res), np.inf, np.float32)
+        g1 = np.zeros((a_total, n_res), np.int64)
+        row_chunk = max(1, (1 << 25) // max(a_total, 1))  # ~128 MB f32 blocks
+        for lo in range(0, a_total, row_chunk):
+            hi = min(lo + row_chunk, a_total)
+            diff = all_xyz[lo:hi, None, :] - all_xyz[None, :, :]
+            d2 = np.einsum("abk,abk->ab", diff, diff)
+            rows = np.arange(hi - lo)
+            for j in ne:
+                seg = d2[:, offsets[j] : offsets[j + 1]]
+                arg = seg.argmin(axis=1)
+                m1[lo:hi, j] = seg[rows, arg]
+                g1[lo:hi, j] = offsets[j] + arg
+
+        # Stage 2: per residue i: reduce over its atom rows.
+        dmin = np.full((n_res, n_res), np.inf, np.float32)
+        atom_i = np.zeros((n_res, n_res), np.int64)
+        atom_j = np.zeros((n_res, n_res), np.int64)
+        cols = np.arange(n_res)
+        for i in ne:
+            rows = m1[offsets[i] : offsets[i + 1]]  # (ci, n_res)
+            ai = rows.argmin(axis=0)  # (n_res,)
+            dmin[i] = rows[ai, cols]
+            atom_i[i] = offsets[i] + ai
+            atom_j[i] = g1[offsets[i] + ai, cols]
+
+        # Dict building: only i < j with both residues mapped and non-empty.
+        in_map = np.zeros(n_res, bool)
+        in_map[[k for k in ne if int(k) in mapping]] = True
+        iu, ju = np.triu_indices(n_res, k=1)
+        sel = in_map[iu] & in_map[ju]
+        dists = np.sqrt(dmin[iu[sel], ju[sel]].astype(np.float64))
+        for i, j, dist in zip(iu[sel], ju[sel], dists):
+            atom_pair = (
+                all_names[atom_i[i, j]] + "-" + all_names[atom_j[i, j]]
+            )
+            mapped_residues[(mapping[int(i)], mapping[int(j)])] = (
+                atom_pair,
+                resids[i],
+                resids[j],
+                float(dist),
+            )
         return mapped_residues, not_in_pdb
 
     def get_wc_pairs_and_neighbors(self):
