@@ -26,6 +26,7 @@ DCA_COMPUTATION_SUBCOMMANDS = (
     "compute_fi",
     "compute_fij",
     "compute_fields",
+    "compute_weights",
 )
 
 
@@ -42,6 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
         ("compute_fi", "compute (regularized) single-site frequencies"),
         ("compute_fij", "compute (regularized) pair-site frequencies"),
         ("compute_fields", "compute local fields"),
+        ("compute_weights", "compute per-sequence reweighting factors"),
     ]:
         sp = subparsers.add_parser(name, help=desc)
         sp.add_argument("biomolecule", choices=["protein", "PROTEIN", "rna", "RNA"])
@@ -188,6 +190,17 @@ def execute_from_command_line(
             )
         )
         dca_utilities.write_couplings_csv(path, couplings, metadata=meta)
+
+    if the_command == "compute_weights":
+        import numpy as np
+
+        weights = np.asarray(inst.get_sequences_weight())
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix="weights_", postfix=".txt"
+        )
+        dca_utilities.write_sequence_weights(
+            path, weights, ids=inst.msa.ids, metadata=param_metadata()
+        )
 
     if the_command == "compute_fi":
         fi = inst.get_reg_single_site_freqs()

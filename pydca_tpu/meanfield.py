@@ -46,7 +46,10 @@ def _as_msa(msa, biomolecule: str) -> MSA:
         from .alphabets import get_alphabet
 
         return MSA(data=np.asarray(msa, dtype=np.int8), alphabet=get_alphabet(biomolecule))
-    # Anything iterable of (id, sequence) pairs or sequence strings.
+    # Anything iterable of (id, sequence) pairs, sequence strings, or
+    # SeqRecord-like objects — covers Bio.Align.MultipleSeqAlignment input
+    # without a Biopython dependency (reference accepts one,
+    # ``meanfield_dca.py:97-106``).
     try:
         from .alphabets import get_alphabet
 
@@ -57,6 +60,9 @@ def _as_msa(msa, biomolecule: str) -> MSA:
             if isinstance(item, str):
                 ids.append(f"seq{len(seqs)}")
                 seqs.append(item.upper())
+            elif hasattr(item, "id") and hasattr(item, "seq"):
+                ids.append(str(item.id))
+                seqs.append(str(item.seq).upper())
             else:
                 sid, s = item
                 ids.append(str(sid))

@@ -249,17 +249,40 @@ def global_dedup_keep(
 
 
 def _default_allgather(local: np.ndarray) -> List[np.ndarray]:
-    """All-gather one per-process array via the real JAX process topology."""
+    """All-gather one per-process array via the real JAX process topology.
+
+    64-bit payloads (the blake2b hash halves, global indices) are viewed as
+    uint32 pairs for the transport: ``process_allgather`` silently narrows
+    64-bit dtypes when x64 is disabled (the default), which would corrupt
+    hashes bit-for-bit.
+    """
     from jax.experimental import multihost_utils
 
     nproc = jax.process_count()
-    n_local = np.asarray([local.shape[0]], dtype=np.int64)
+    orig_dtype = local.dtype
+    orig_trail = local.shape[1:]
+    arr = np.ascontiguousarray(local)
+    wide = orig_dtype.itemsize == 8
+    if wide:
+        arr = arr.reshape(arr.shape[0], -1) if arr.ndim > 1 else arr[:, None]
+        arr = arr.view(np.uint32)
+    n_local = np.asarray([arr.shape[0]], dtype=np.int32)
     counts = multihost_utils.process_allgather(n_local).reshape(-1)
     n_max = int(counts.max())
-    pad = np.zeros((n_max - local.shape[0],) + local.shape[1:], local.dtype)
-    padded = np.concatenate([local, pad], axis=0)
+    pad = np.zeros((n_max - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    padded = np.concatenate([arr, pad], axis=0)
     gathered = multihost_utils.process_allgather(padded)
-    return [gathered[p, : int(counts[p])] for p in range(nproc)]
+    out = []
+    for p in range(nproc):
+        part = gathered[p, : int(counts[p])]
+        if wide:
+            part = (
+                np.ascontiguousarray(part)
+                .view(orig_dtype)
+                .reshape((part.shape[0],) + orig_trail)
+            )
+        out.append(part)
+    return out
 
 
 def _allgather_varlen(

@@ -120,3 +120,26 @@ def test_plmdca_precision_rejects_garbage(tiny_msa, tmp_path):
 
     with pytest.raises(PlmDCAException):
         PlmDCA(tiny_msa, "rna", precision="float16")
+
+
+def test_mfdca_compute_weights(tiny_msa, tmp_path):
+    out = str(tmp_path / "outw")
+    run_meanfield_dca(["compute_weights", "rna", tiny_msa, "--output_dir", out])
+    files = os.listdir(out)
+    assert files == ["weights_tiny.txt"]
+    rows = [
+        line.strip().split(",")
+        for line in open(os.path.join(out, files[0]))
+        if not line.startswith("#")
+    ]
+    # 1-indexed, one row per (deduplicated) sequence, weights in (0, 1]
+    assert int(rows[0][0]) == 1
+    ws = [float(r[1]) for r in rows]
+    assert all(0 < w <= 1 for w in ws)
+    # Meff in the header equals the sum of the dumped weights
+    header = [
+        line for line in open(os.path.join(out, files[0]))
+        if "Effective number" in line
+    ][0]
+    meff = float(header.split(":")[1])
+    assert abs(sum(ws) - meff) < 1e-3

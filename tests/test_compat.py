@@ -126,3 +126,43 @@ def test_plm_compat_methods(tiny_msa_file):
     assert di.shape == (l * (l - 1) // 2,)
     fields_ij = plm.compute_two_site_model_fields()
     assert fields_ij.shape == (l * (l - 1) // 2, 2, q)
+
+
+def test_meanfield_accepts_seqrecord_like_objects(tmp_path):
+    """Duck-typed Bio.Align.MultipleSeqAlignment input: items exposing
+    .id/.seq (reference ``meanfield_dca.py:97-106``; its only equality test
+    asserts file-path and Bio-object FN_APC are identical,
+    ``tests/meanfield_dca_test.py:42-61``)."""
+    import numpy as np
+
+    from pydca_tpu.meanfield import MeanFieldDCA
+
+    rng = np.random.default_rng(9)
+    letters = "ACGU-"
+    rows = rng.integers(0, 5, size=(25, 14))
+    path = tmp_path / "m.fa"
+    with open(path, "w") as fh:
+        for k, r in enumerate(rows):
+            fh.write(f">s{k}\n" + "".join(letters[i] for i in r) + "\n")
+
+    class FakeSeq:
+        def __init__(self, s):
+            self._s = s
+
+        def __str__(self):
+            return self._s
+
+    class FakeRecord:
+        def __init__(self, rid, s):
+            self.id = rid
+            self.seq = FakeSeq(s)
+
+    records = [
+        FakeRecord(f"s{k}", "".join(letters[i] for i in r))
+        for k, r in enumerate(rows)
+    ]
+    a = MeanFieldDCA(str(path), "rna")
+    b = MeanFieldDCA(records, "rna")
+    fa = a.compute_sorted_FN_APC()
+    fb = b.compute_sorted_FN_APC()
+    assert fa == fb
