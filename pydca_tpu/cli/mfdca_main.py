@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output_dir", help="output directory")
         sp.add_argument("--verbose", action="store_true")
         sp.add_argument("--apc", action="store_true", help="average product correction")
+        sp.add_argument(
+            "--mesh",
+            choices=["auto", "single"],
+            default="auto",
+            help="auto (default): shard over all visible devices when more "
+            "than one is present; single: one device",
+        )
         if name == "compute_params":
             sp.add_argument(
                 "--ranked_by",
@@ -77,6 +84,7 @@ def execute_from_command_line(
     ranked_by=None,
     linear_dist=None,
     num_site_pairs=None,
+    mesh="auto",
 ):
     if verbose:
         configure_logging()
@@ -88,6 +96,8 @@ def execute_from_command_line(
         kwargs["pseudocount"] = pseudocount
     if seqid is not None:
         kwargs["seqid"] = seqid
+    if mesh == "auto":
+        kwargs["mesh"] = "auto"
     inst = MeanFieldDCA(msa_file, biomolecule, **kwargs)
 
     seqbackmapper = None
@@ -253,6 +263,7 @@ def run_meanfield_dca(argv=None):
         ranked_by=getattr(args, "ranked_by", None),
         linear_dist=getattr(args, "linear_dist", None),
         num_site_pairs=getattr(args, "num_site_pairs", None),
+        mesh=args.mesh,
     )
 
 

@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
             help="periodically save the optimizer state to PATH and resume "
             "from it if it exists",
         )
+        sp.add_argument(
+            "--mesh",
+            choices=["auto", "single"],
+            default="auto",
+            help="auto (default): shard sequences over all visible devices "
+            "when more than one is present; single: one device",
+        )
         sp.add_argument("--refseq_file")
         sp.add_argument("--output_dir")
         sp.add_argument("--verbose", action="store_true")
@@ -70,6 +77,20 @@ def build_parser() -> argparse.ArgumentParser:
             )
             sp.add_argument("--linear_dist", type=int)
             sp.add_argument("--num_site_pairs", type=int)
+
+    # family batching: N MSAs padded to one (F, Nmax, Lmax) block, fitted
+    # and scored in one vmapped device program (pydca_tpu.family)
+    sb = subparsers.add_parser(
+        "compute_fn_batch",
+        help="FN scores for MANY MSA families in one vmapped device program",
+    )
+    sb.add_argument("biomolecule", choices=["protein", "PROTEIN", "rna", "RNA"])
+    sb.add_argument("msa_files", nargs="+", help="one FASTA file per family")
+    sb.add_argument("--seqid", type=float)
+    sb.add_argument("--max_iterations", type=int)
+    sb.add_argument("--output_dir")
+    sb.add_argument("--verbose", action="store_true")
+    sb.add_argument("--apc", action="store_true")
     return parser
 
 
@@ -92,6 +113,7 @@ def execute_from_command_line(
     seq_block=None,
     precision=None,
     checkpoint=None,
+    mesh="auto",
 ):
     if verbose:
         configure_logging()
@@ -107,6 +129,7 @@ def execute_from_command_line(
         seq_block=seq_block,
         precision=precision,
         checkpoint_path=checkpoint,
+        mesh="auto" if mesh == "auto" else None,
     )
     seqbackmapper = None
     if refseq_file:
@@ -190,11 +213,77 @@ def execute_from_command_line(
         dca_utilities.write_couplings_csv(path, couplings, metadata=meta)
 
 
+def execute_batch(
+    msa_files,
+    biomolecule,
+    seqid=None,
+    max_iterations=None,
+    output_dir=None,
+    apc=False,
+    verbose=False,
+):
+    """N families -> one vmapped fit -> per-family ranked score files."""
+    if verbose:
+        configure_logging()
+    from ..family import FamilyBatch, family_plm_fit, family_plm_scores
+    from ..io.fasta import read_msa
+
+    msas = [read_msa(f, biomolecule) for f in msa_files]
+    batch = FamilyBatch(msas)
+    thetas, _states = family_plm_fit(
+        batch,
+        seqid=0.8 if seqid is None else float(seqid),
+        max_iterations=100 if max_iterations is None else int(max_iterations),
+    )
+    scores_per_family = family_plm_scores(batch, thetas, apc=apc)
+    if not output_dir:
+        output_dir = "PLMDCA_batch_output"
+    dca_utilities.create_directories(output_dir)
+    prefix = "PLMDCA_apc_fn_scores_" if apc else "PLMDCA_raw_fn_scores_"
+    score_type = (
+        "PLMDCA Frobenius norm, average product corrected (APC)"
+        if apc
+        else "PLMDCA Frobenius norm, non-APC (not average product corrected)"
+    )
+    paths = []
+    for msa_file, msa, scores in zip(msa_files, msas, scores_per_family):
+        meta = [
+            "# PARAMETERS USED FOR THIS COMPUTATION: ",
+            "#      Sequence type: {}".format(msa.alphabet.name),
+            "#      Total number of sequences in alignment data: {}".format(
+                msa.num_seqs
+            ),
+            "#      Length of sequences in alignment data: {}".format(
+                msa.seqs_len
+            ),
+            "#      Computed in a family batch of {} MSAs".format(len(msas)),
+        ]
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix=prefix, postfix=".txt"
+        )
+        dca_utilities.write_sorted_dca_scores(
+            path, scores, metadata=meta, score_type=score_type
+        )
+        paths.append(path)
+    return paths
+
+
 def run_plm_dca(argv=None):
     from ..runtime import enable_compilation_cache
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.the_command == "compute_fn_batch":
+        execute_batch(
+            msa_files=args.msa_files,
+            biomolecule=args.biomolecule,
+            seqid=args.seqid,
+            max_iterations=args.max_iterations,
+            output_dir=args.output_dir,
+            apc=args.apc,
+            verbose=args.verbose,
+        )
+        return
     execute_from_command_line(
         msa_file=args.msa_file,
         biomolecule=args.biomolecule,
@@ -208,6 +297,7 @@ def run_plm_dca(argv=None):
         seq_block=args.seq_block,
         precision=args.precision,
         checkpoint=args.checkpoint,
+        mesh=args.mesh,
         verbose=args.verbose,
         output_dir=args.output_dir,
         apc=args.apc,

@@ -104,6 +104,21 @@ def _mf_fused_pipeline(msa, l: int, q: int, seqid: float, pseudocount: float, dt
     return w, couplings, fn_raw, fn_apc
 
 
+def _resolve_mesh(mesh):
+    """``None`` -> single device; ``"auto"`` -> a ('data','model') mesh over
+    all visible devices when more than one is present; a Mesh passes
+    through."""
+    if mesh is None:
+        return None
+    if mesh == "auto":
+        if jax.device_count() > 1:
+            from .parallel.mesh import make_mesh
+
+            return make_mesh()
+        return None
+    return mesh
+
+
 class MeanFieldDCA:
     """Mean-field Direct Coupling Analysis.
 
@@ -135,6 +150,7 @@ class MeanFieldDCA:
         seqid: float = 0.8,
         *,
         dtype=jnp.float32,
+        mesh=None,
     ):
         if not 0.0 <= pseudocount < 1.0:
             raise MeanFieldDCAException(
@@ -146,6 +162,7 @@ class MeanFieldDCA:
         self.__pseudocount = float(pseudocount)
         self.__seqid = float(seqid)
         self.dtype = dtype
+        self.__mesh = _resolve_mesh(mesh)
         # caches
         self.__weights: Optional[jax.Array] = None
         self.__gram: Optional[jax.Array] = None
@@ -294,18 +311,36 @@ class MeanFieldDCA:
     def _run_fused_pipeline(self) -> None:
         """Populate the weights/couplings/FN caches with ONE device program.
 
-        Falls back to the staged LU path when C is not numerically SPD
-        (the fused program's Cholesky then yields NaNs).
+        With a multi-chip mesh (``mesh="auto"`` and >1 device visible) the
+        pipeline runs sharded: sequences data-parallel, the correlation /
+        coupling matrices and the dense solve over the 'model' axis
+        (:func:`pydca_tpu.parallel.fit.mfdca_sharded`).  Falls back to the
+        staged LU path when C is not numerically SPD (the fused program's
+        Cholesky then yields NaNs).
         """
         with self.timers.stage("pipeline"):
-            w, couplings, fn_raw, fn_apc = _mf_fused_pipeline(
-                jnp.asarray(self.msa.data, jnp.int32),
-                self.msa.seqs_len,
-                self.msa.q,
-                self.__seqid,
-                self.__pseudocount,
-                self.dtype,
-            )
+            if self.__mesh is not None and self.dtype == jnp.float32:
+                from .parallel.fit import mfdca_sharded
+
+                out = mfdca_sharded(
+                    self.msa.data,
+                    biomolecule_q=self.msa.q,
+                    pseudocount=self.__pseudocount,
+                    seqid=self.__seqid,
+                    mesh=self.__mesh,
+                    return_all=True,
+                )
+                w, couplings = out["weights"], out["couplings"]
+                fn_raw, fn_apc = out["fn"], out["fn_apc"]
+            else:
+                w, couplings, fn_raw, fn_apc = _mf_fused_pipeline(
+                    jnp.asarray(self.msa.data, jnp.int32),
+                    self.msa.seqs_len,
+                    self.msa.q,
+                    self.__seqid,
+                    self.__pseudocount,
+                    self.dtype,
+                )
             couplings.block_until_ready()
         self.timers.add_rate("pipeline", self.msa.num_seqs, "seqs")
         self.__weights = w

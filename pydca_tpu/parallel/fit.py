@@ -135,6 +135,7 @@ def mfdca_sharded(
     mesh: Optional[Mesh] = None,
     weights: Optional[jax.Array] = None,
     return_couplings: bool = False,
+    return_all: bool = False,
 ):
     """Multi-chip mean-field DCA: FN and FN-APC scores over a device mesh.
 
@@ -160,6 +161,13 @@ def mfdca_sharded(
         fn, fn_apc, couplings = _mf_pipeline_sharded(
             msa_s, w_s, jnp.asarray(pseudocount, w_s.dtype), l, q
         )
+    if return_all:
+        return {
+            "fn": fn,
+            "fn_apc": fn_apc,
+            "couplings": couplings,
+            "weights": w_s[:n],
+        }
     if return_couplings:
         return fn, fn_apc, couplings
     return fn, fn_apc

@@ -490,6 +490,7 @@ class PlmDCA:
         checkpoint_path: Optional[str] = None,
         seq_block: Optional[int] = None,
         precision: Optional[str] = None,
+        mesh=None,
     ):
         if isinstance(msa_file, MSA):
             self.msa = msa_file
@@ -513,6 +514,16 @@ class PlmDCA:
                 seq_block = max(1024, int((1 << 30) / (4 * l * self.msa.q)))
         self.__seq_block = seq_block
         self.__mm_bf16 = resolve_precision(precision)
+        from .meanfield import _resolve_mesh
+
+        # multi-chip: mesh="auto" shards sequences data-parallel over all
+        # visible devices; the streaming (seq_block) path stays single-chip
+        # (its host-side block reshape does not compose with GSPMD yet)
+        self.__mesh = _resolve_mesh(mesh) if seq_block is None else None
+        if seq_block is not None and _resolve_mesh(mesh) is not None:
+            logger.warning(
+                "seq_block streaming is single-chip; ignoring the mesh"
+            )
         self.__verbose = bool(verbose)
         self.__checkpoint_path = checkpoint_path
         self.__params: Optional[np.ndarray] = None
@@ -571,12 +582,22 @@ class PlmDCA:
     def compute_seqs_weight(self) -> jax.Array:
         if self.__weights is None:
             with self.timers.stage("weights"):
-                self.__weights = stats.sequence_weights(
-                    jnp.asarray(self.msa.data, jnp.int32),
-                    self.__seqid,
-                    self.msa.q,
-                    dtype=jnp.float32,
-                )
+                if self.__mesh is not None:
+                    from .parallel.fit import sequence_weights_sharded
+
+                    self.__weights = sequence_weights_sharded(
+                        self.__mesh,
+                        jnp.asarray(self.msa.data, jnp.int32),
+                        self.__seqid,
+                        self.msa.q,
+                    )
+                else:
+                    self.__weights = stats.sequence_weights(
+                        jnp.asarray(self.msa.data, jnp.int32),
+                        self.__seqid,
+                        self.msa.q,
+                        dtype=jnp.float32,
+                    )
                 self.__weights.block_until_ready()
             self.timers.add_rate("weights", self.msa.num_seqs, "seqs")
         return self.__weights
@@ -598,19 +619,35 @@ class PlmDCA:
 
             weights = self.compute_seqs_weight()
             with self.timers.stage("fit"):
-                res = fit_plm(
-                    jnp.asarray(self.msa.data, jnp.int32),
-                    weights,
-                    jnp.float32(self.__lambda_h),
-                    jnp.float32(self.__lambda_j),
-                    l,
-                    q,
-                    max_iterations=self.__max_iterations,
-                    progress_fn=_progress,
-                    checkpoint_path=self.__checkpoint_path,
-                    seq_block=self.__seq_block,
-                    mm_bf16=self.__mm_bf16,
-                )
+                if self.__mesh is not None:
+                    from .parallel.fit import fit_plm_sharded
+
+                    res = fit_plm_sharded(
+                        self.msa.data,
+                        biomolecule_q=q,
+                        lambda_h=self.__lambda_h,
+                        lambda_j=self.__lambda_j,
+                        max_iterations=self.__max_iterations,
+                        mesh=self.__mesh,
+                        weights=weights,
+                        progress_fn=_progress,
+                        checkpoint_path=self.__checkpoint_path,
+                        mm_bf16=self.__mm_bf16,
+                    )
+                else:
+                    res = fit_plm(
+                        jnp.asarray(self.msa.data, jnp.int32),
+                        weights,
+                        jnp.float32(self.__lambda_h),
+                        jnp.float32(self.__lambda_j),
+                        l,
+                        q,
+                        max_iterations=self.__max_iterations,
+                        progress_fn=_progress,
+                        checkpoint_path=self.__checkpoint_path,
+                        seq_block=self.__seq_block,
+                        mm_bf16=self.__mm_bf16,
+                    )
                 res.x.block_until_ready()
             self.timers.add_rate("fit", int(res.num_iters), "iters")
             self.__fit_result = res

@@ -143,3 +143,63 @@ def test_mfdca_compute_weights(tiny_msa, tmp_path):
     ][0]
     meff = float(header.split(":")[1])
     assert abs(sum(ws) - meff) < 1e-3
+
+
+def test_plmdca_compute_fn_batch(tmp_path):
+    """Family batch: N MSAs -> one vmapped fit -> per-family score files."""
+    rng = np.random.default_rng(17)
+    letters = "ACGU-"
+    files = []
+    for f in range(3):
+        l = int(rng.integers(8, 13))
+        base = rng.integers(0, 5, size=(3, l))
+        rows = base[rng.integers(0, 3, size=30)]
+        mut = rng.random(rows.shape) < 0.2
+        rows = np.where(mut, rng.integers(0, 5, size=rows.shape), rows)
+        p = tmp_path / f"fam{f}.fa"
+        with open(p, "w") as fh:
+            for k, r in enumerate(rows):
+                fh.write(f">s{k}\n" + "".join(letters[int(x)] for x in r) + "\n")
+        files.append((str(p), l))
+    out = str(tmp_path / "batch_out")
+    run_plm_dca(
+        ["compute_fn_batch", "rna"]
+        + [f for f, _ in files]
+        + ["--apc", "--output_dir", out, "--max_iterations", "15"]
+    )
+    names = sorted(os.listdir(out))
+    assert names == [f"PLMDCA_apc_fn_scores_fam{f}.txt" for f in range(3)]
+    for (path, l), name in zip(files, names):
+        scores = _read_scores(os.path.join(out, name))
+        assert len(scores) == l * (l - 1) // 2
+        for (i, j), _ in scores:
+            assert 1 <= i < j <= l
+
+
+def test_engines_auto_mesh_uses_all_test_devices(tiny_msa):
+    """mesh='auto' on the 8-device CPU test mesh: sharded path, same
+    rankings as single-device."""
+    import jax
+    from pydca_tpu.meanfield import MeanFieldDCA
+    from pydca_tpu.plm import PlmDCA
+
+    assert jax.device_count() == 8  # conftest virtual mesh
+
+    a = MeanFieldDCA(tiny_msa, "rna")
+    b = MeanFieldDCA(tiny_msa, "rna", mesh="auto")
+    sa = a.compute_sorted_FN_APC()
+    sb = b.compute_sorted_FN_APC()
+    assert [p for p, _ in sa] == [p for p, _ in sb]
+    ranked_a = np.array([s for _, s in sa])
+    ranked_b = np.array([s for _, s in sb])
+    np.testing.assert_allclose(ranked_a, ranked_b, rtol=1e-4, atol=1e-5)
+    # the sharded couplings really are distributed over the mesh
+    assert len(b.compute_couplings().sharding.device_set) == 8
+
+    pa = PlmDCA(tiny_msa, "rna", max_iterations=10, precision="float32")
+    pb = PlmDCA(
+        tiny_msa, "rna", max_iterations=10, precision="float32", mesh="auto"
+    )
+    fa = pa.compute_sorted_FN_APC()
+    fb = pb.compute_sorted_FN_APC()
+    assert [p for p, _ in fa[:20]] == [p for p, _ in fb[:20]]
