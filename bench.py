@@ -217,16 +217,66 @@ def bench_deep():
     emit("weights_100k_pair_identities", n * n / wdt / 1e9, "G pairs/s", None)
 
     lam = jnp.float32(0.2 * (l - 1))
-    t0 = time.time()
-    r = fit_plm(m, w, lam, lam, l, q, max_iterations=10, seq_block=16384)
-    r.x.block_until_ready()
-    dt = time.time() - t0
+
+    def run():
+        t0 = time.time()
+        r = fit_plm(m, w, lam, lam, l, q, max_iterations=10, seq_block=16384)
+        r.x.block_until_ready()
+        return int(r.num_iters), time.time() - t0
+
+    iters, cold = run()  # includes the scan-program compile
+    emit("plm_100kseq_streaming_cold_s", cold, "s", None)
+    iters, dt = run()
     emit(
         "plm_100kseq_streaming_throughput",
-        int(r.num_iters) * n / dt / 1e6,
+        iters * n / dt / 1e6,
         "M seq-updates/s",
         None,
     )
+
+
+def bench_protein_scale():
+    """Protein-scale mean-field: synthetic L=1000, q=21 family (VERDICT r2 #5).
+
+    The correlation matrix is 20000 x 20000; this substantiates the
+    ops/linalg claim that the Cholesky + divide-and-conquer triangular
+    inverse + SYRK runs in ~1 s territory on one chip, and proves the
+    memory-lean corr-mat layout holds at L=1000 (no OOM).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pydca_tpu.meanfield import _mf_fused_pipeline
+    from pydca_tpu.ops import linalg
+
+    n, l, q = 4096, 1000, 21
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, q, size=(128, l))
+    msa = base[rng.integers(0, 128, size=n)]
+    flip = rng.random((n, l)) < 0.2
+    msa = np.where(flip, rng.integers(0, q, size=(n, l)), msa).astype(np.int32)
+    m = jnp.asarray(msa)
+
+    def run():
+        t0 = time.time()
+        out = _mf_fused_pipeline(m, l, q, 0.8, 0.5, jnp.float32)
+        jax.block_until_ready(out)
+        return time.time() - t0
+
+    cold = run()
+    emit("mfdca_l1000_q21_pipeline_cold_s", cold, "s", None)
+    warm = min(run() for _ in range(2))
+    emit("mfdca_l1000_q21_pipeline_warm_s", warm, "s", None)
+
+    d = l * (q - 1)
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (d, 256), jnp.float32)
+    c = a @ a.T + d * jnp.eye(d, dtype=jnp.float32)
+    linalg.spd_inverse(c).block_until_ready()
+    t0 = time.time()
+    linalg.spd_inverse(c + 1.0).block_until_ready()
+    emit(f"spd_inverse_{d}sq_warm_s", time.time() - t0, "s", None)
 
 
 def bench_family():
@@ -307,6 +357,8 @@ def main():
         bench_deep()
     if only in ("all", "family"):
         bench_family()
+    if only in ("all", "protein1000"):
+        bench_protein_scale()
 
 
 if __name__ == "__main__":
