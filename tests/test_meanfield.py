@@ -158,3 +158,28 @@ def test_couplings_lu_fallback_on_non_spd():
     out = np.asarray(MeanFieldDCA._inverse_with_fallback(c))
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out, -np.diag([1.0, -0.5, 1 / 3, -0.25]), rtol=1e-6)
+
+
+def test_fused_pipeline_non_spd_takes_lu_fallback(caplog):
+    """When the fused program's Cholesky fails (C not numerically SPD), the
+    engine must detect the NaN couplings, warn, invalidate the fused FN
+    caches, and recompute via the staged LU path."""
+    import logging
+
+    import numpy as np
+    from pydca_tpu.alphabets import RNA
+    from pydca_tpu.io.fasta import MSA
+    from pydca_tpu.meanfield import MeanFieldDCA
+
+    # 3 distinct sequences, pseudocount 0: C is rank-deficient -> Cholesky NaN
+    data = np.array(
+        [[0, 1, 2, 3, 0, 1], [1, 2, 3, 0, 1, 2], [2, 3, 0, 1, 2, 3]],
+        dtype=np.int8,
+    )
+    inst = MeanFieldDCA(MSA(data=data, alphabet=RNA), "rna", pseudocount=0.0)
+    with caplog.at_level(logging.WARNING, logger="pydca_tpu.meanfield"):
+        scores = inst.compute_sorted_FN_APC()
+    assert any("falling back to an LU inverse" in r.message for r in caplog.records)
+    # structure intact (values may be non-finite: C here is truly singular,
+    # matching the reference's behavior of inverting garbage-in garbage-out)
+    assert len(scores) == 6 * 5 // 2
