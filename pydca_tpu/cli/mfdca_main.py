@@ -68,6 +68,19 @@ def build_parser() -> argparse.ArgumentParser:
             )
             sp.add_argument("--linear_dist", type=int)
             sp.add_argument("--num_site_pairs", type=int)
+
+    # family batching: N MSAs -> one vmapped mean-field device program
+    sb = subparsers.add_parser(
+        "compute_fn_batch",
+        help="FN scores for MANY MSA families in one vmapped device program",
+    )
+    sb.add_argument("biomolecule", choices=["protein", "PROTEIN", "rna", "RNA"])
+    sb.add_argument("msa_files", nargs="+", help="one FASTA file per family")
+    sb.add_argument("--seqid", type=float)
+    sb.add_argument("--pseudocount", type=float)
+    sb.add_argument("--output_dir")
+    sb.add_argument("--verbose", action="store_true")
+    sb.add_argument("--apc", action="store_true")
     return parser
 
 
@@ -245,11 +258,77 @@ def execute_from_command_line(
         )
 
 
+def execute_batch(
+    msa_files,
+    biomolecule,
+    seqid=None,
+    pseudocount=None,
+    output_dir=None,
+    apc=False,
+    verbose=False,
+):
+    """N families -> one vmapped mean-field program -> per-family files."""
+    if verbose:
+        configure_logging()
+    from ..family import FamilyBatch, family_meanfield_scores
+    from ..io.fasta import read_msa
+
+    msas = [read_msa(f, biomolecule) for f in msa_files]
+    batch = FamilyBatch(msas)
+    scores_per_family = family_meanfield_scores(
+        batch,
+        seqid=0.8 if seqid is None else float(seqid),
+        pseudocount=0.5 if pseudocount is None else float(pseudocount),
+        apc=apc,
+    )
+    if not output_dir:
+        output_dir = "MFDCA_batch_output"
+    dca_utilities.create_directories(output_dir)
+    prefix = "MFDCA_apc_fn_scores_" if apc else "MFDCA_raw_fn_scores_"
+    score_type = (
+        "MFDCA Frobenius norm, average product corrected (APC)"
+        if apc
+        else "MFDCA raw Frobenius norm"
+    )
+    paths = []
+    for msa_file, msa, scores in zip(msa_files, msas, scores_per_family):
+        meta = [
+            "# PARAMETERS USED FOR THIS COMPUTATION: ",
+            "#      Sequence type: {}".format(msa.alphabet.name),
+            "#      Total number of sequences in alignment data: {}".format(
+                msa.num_seqs
+            ),
+            "#      Length of sequences in alignment data: {}".format(
+                msa.seqs_len
+            ),
+            "#      Computed in a family batch of {} MSAs".format(len(msas)),
+        ]
+        path = dca_utilities.get_dca_output_file_path(
+            output_dir, msa_file, prefix=prefix, postfix=".txt"
+        )
+        dca_utilities.write_sorted_dca_scores(
+            path, scores, metadata=meta, score_type=score_type
+        )
+        paths.append(path)
+    return paths
+
+
 def run_meanfield_dca(argv=None):
     from ..runtime import enable_compilation_cache
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.the_command == "compute_fn_batch":
+        execute_batch(
+            msa_files=args.msa_files,
+            biomolecule=args.biomolecule,
+            seqid=args.seqid,
+            pseudocount=args.pseudocount,
+            output_dir=args.output_dir,
+            apc=args.apc,
+            verbose=args.verbose,
+        )
+        return
     execute_from_command_line(
         msa_file=args.msa_file,
         biomolecule=args.biomolecule,

@@ -203,3 +203,27 @@ def test_engines_auto_mesh_uses_all_test_devices(tiny_msa):
     fa = pa.compute_sorted_FN_APC()
     fb = pb.compute_sorted_FN_APC()
     assert [p for p, _ in fa[:20]] == [p for p, _ in fb[:20]]
+
+
+def test_mfdca_compute_fn_batch(tmp_path):
+    rng = np.random.default_rng(23)
+    letters = "ACGU-"
+    files, lens = [], []
+    for f in range(2):
+        l = int(rng.integers(8, 12))
+        rows = rng.integers(0, 5, size=(25, l))
+        p = tmp_path / f"mfam{f}.fa"
+        with open(p, "w") as fh:
+            for k, r in enumerate(rows):
+                fh.write(f">s{k}\n" + "".join(letters[int(x)] for x in r) + "\n")
+        files.append(str(p))
+        lens.append(l)
+    out = str(tmp_path / "mf_batch_out")
+    run_meanfield_dca(
+        ["compute_fn_batch", "rna"] + files + ["--apc", "--output_dir", out]
+    )
+    names = sorted(os.listdir(out))
+    assert names == [f"MFDCA_apc_fn_scores_mfam{f}.txt" for f in range(2)]
+    for l, name in zip(lens, names):
+        scores = _read_scores(os.path.join(out, name))
+        assert len(scores) == l * (l - 1) // 2
