@@ -434,15 +434,37 @@ def fit_plm(
     step = max_iterations if chunk_size is None else int(chunk_size)
     last_saved = done_iters
     is_done = bool(state.done)
+    retries = 2  # elastic recovery: device/runtime failures mid-chunk
     while done_iters < max_iterations and not is_done:
         todo = min(step, max_iterations - done_iters)
-        state = _plm_lbfgs_steps(
-            state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo, chunked,
-            mm_bf16,
-        )
-        # one device->host fetch per chunk (the tunnel makes each transfer
-        # expensive; state.k and state.done ride together)
-        done_iters, is_done = jax.device_get((state.k, state.done))
+        try:
+            state = _plm_lbfgs_steps(
+                state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo,
+                chunked, mm_bf16,
+            )
+            # one device->host fetch per chunk (the tunnel makes each
+            # transfer expensive; state.k and state.done ride together)
+            done_iters, is_done = jax.device_get((state.k, state.done))
+        except RuntimeError as exc:
+            # e.g. XlaRuntimeError ABORTED on a preempted/flaky device: the
+            # device state is gone, but the host checkpoint survives — the
+            # chunked-program structure exists precisely so a long fit can
+            # lose at most checkpoint_every iterations.
+            if (
+                retries <= 0
+                or checkpoint_path is None
+                or not os.path.exists(checkpoint_path)
+            ):
+                raise
+            retries -= 1
+            logger.warning(
+                "device error during L-BFGS chunk (%s); resuming from "
+                "checkpoint %s (%d retries left)",
+                exc, checkpoint_path, retries,
+            )
+            state = _load_state(checkpoint_path)
+            done_iters, is_done = int(state.k), bool(state.done)
+            continue
         done_iters = int(done_iters)
         if progress_fn is not None:
             progress_fn(state)

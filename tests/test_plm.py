@@ -241,3 +241,48 @@ def test_resolve_precision():
 
     with _pytest.raises(PlmDCAException):
         resolve_precision("float16")
+
+
+def test_fit_plm_recovers_from_device_error_via_checkpoint(tmp_path, monkeypatch):
+    """Elastic recovery: a RuntimeError mid-chunk resumes from the last
+    checkpoint instead of losing the run (SURVEY section 5, failure
+    detection/recovery)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pydca_tpu import plm as plm_mod
+
+    rng = np.random.default_rng(31)
+    n, l, q = 40, 8, 5
+    msa = jnp.asarray(rng.integers(0, q, (n, l)), jnp.int32)
+    w = jnp.ones((n,), jnp.float32)
+    lam = jnp.float32(0.2 * (l - 1))
+    ckpt = str(tmp_path / "fit.npz")
+
+    ref = plm_mod.fit_plm(msa, w, lam, lam, l, q, max_iterations=20, chunk_size=5)
+
+    orig = plm_mod._plm_lbfgs_steps
+    fail_at = {"calls": 0}
+
+    def flaky(*args, **kwargs):
+        fail_at["calls"] += 1
+        if fail_at["calls"] == 3:  # fail on the third chunk
+            raise RuntimeError("ABORTED: TPU backend error (synthetic)")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(plm_mod, "_plm_lbfgs_steps", flaky)
+    res = plm_mod.fit_plm(
+        msa, w, lam, lam, l, q,
+        max_iterations=20, chunk_size=5,
+        checkpoint_path=ckpt, checkpoint_every=5,
+    )
+    assert int(res.num_iters) == int(ref.num_iters)
+    np.testing.assert_allclose(float(res.fx), float(ref.fx), rtol=1e-6)
+
+    # without a checkpoint the error propagates
+    fail_at["calls"] = 0
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="synthetic"):
+        plm_mod.fit_plm(
+            msa, w, lam, lam, l, q, max_iterations=20, chunk_size=5
+        )
