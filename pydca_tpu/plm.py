@@ -539,10 +539,12 @@ class PlmDCA:
         from .meanfield import _resolve_mesh
 
         # multi-chip: mesh="auto" shards sequences data-parallel over all
-        # visible devices; the streaming (seq_block) path stays single-chip
-        # (its host-side block reshape does not compose with GSPMD yet)
-        self.__mesh = _resolve_mesh(mesh) if seq_block is None else None
-        if seq_block is not None and _resolve_mesh(mesh) is not None:
+        # visible devices; the streaming (seq_block) path — explicit OR
+        # auto-enabled for deep alignments above — stays single-chip (its
+        # host-side block reshape does not compose with GSPMD yet)
+        resolved = _resolve_mesh(mesh)
+        self.__mesh = resolved if self.__seq_block is None else None
+        if self.__seq_block is not None and resolved is not None:
             logger.warning(
                 "seq_block streaming is single-chip; ignoring the mesh"
             )

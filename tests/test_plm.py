@@ -286,3 +286,23 @@ def test_fit_plm_recovers_from_device_error_via_checkpoint(tmp_path, monkeypatch
         plm_mod.fit_plm(
             msa, w, lam, lam, l, q, max_iterations=20, chunk_size=5
         )
+
+
+def test_auto_seq_block_disables_mesh(monkeypatch, tmp_path):
+    """Auto-enabled streaming (deep alignment) must also bypass the mesh,
+    exactly like explicit seq_block."""
+    import numpy as np
+    from pydca_tpu.io.fasta import MSA
+    from pydca_tpu.alphabets import RNA
+    from pydca_tpu.plm import PlmDCA
+
+    rng = np.random.default_rng(5)
+    msa = MSA(
+        data=rng.integers(0, 5, (30, 10)).astype(np.int8), alphabet=RNA
+    )
+    # explicit seq_block + auto mesh on the 8-device test backend
+    inst = PlmDCA(msa, "rna", seq_block=8, mesh="auto", max_iterations=5)
+    assert inst._PlmDCA__mesh is None
+    # without seq_block the mesh resolves
+    inst2 = PlmDCA(msa, "rna", mesh="auto", max_iterations=5)
+    assert inst2._PlmDCA__mesh is not None
