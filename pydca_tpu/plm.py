@@ -234,11 +234,22 @@ def _plm_loss_prepped(
     # rows (j, b) = contraction side; cols (a, i) = output side
     w2 = jfull.transpose(1, 3, 2, 0).reshape(l * q, q * l)
     logits = _logits_mm(x, w2, mm_bf16).reshape(-1, q, l) + h.T[None]
-    lse = jax.scipy.special.logsumexp(logits, axis=1)  # (N, L)
+    lse = _lse_q(logits)  # (N, L)
     picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)  # (N, L)
     nll = jnp.sum(weights[:, None] * (lse - picked))
     reg = lambda_h * jnp.sum(h * h) + lambda_j * jnp.sum(theta[l * q :] ** 2)
     return nll + reg
+
+
+def _lse_q(logits: jax.Array) -> jax.Array:
+    """Stable logsumexp over the middle (q) axis of ``(N, q, L)`` logits.
+
+    Hand-rolled: the logits are always finite here, so scipy's inf/nan
+    guard passes (`where`/`isfinite` over the full tensor) are dead weight
+    on an HBM-bandwidth-bound epilogue.
+    """
+    mx = jax.lax.stop_gradient(jnp.max(logits, axis=1))
+    return mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None, :]), axis=1))
 
 
 def plm_loss_and_grad(
@@ -287,7 +298,7 @@ def plm_loss_and_grad_chunked(
         h_b, w2_b = params
         x, maskq = _prep_msa(msa_b, l, q, dtype)
         logits = _logits_mm(x, w2_b, mm_bf16).reshape(-1, q, l) + h_b.T[None]
-        lse = jax.scipy.special.logsumexp(logits, axis=1)
+        lse = _lse_q(logits)
         picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
         return jnp.sum(w_b[:, None] * (lse - picked))
 

@@ -105,6 +105,50 @@ def section_ablate():
         flush=True,
     )
 
+    # ---- A/B variants of the loss epilogue / expansion ----
+    def loss_handlse(t, bf):
+        """Hand-rolled stable lse (no scipy inf-guard passes)."""
+        h = t[: l * q].reshape(l, q)
+        jfull = plm_mod._expand_full(t[l * q :], l, q)
+        w2 = jfull.transpose(1, 3, 2, 0).reshape(l * q, q * l)
+        logits = plm_mod._logits_mm(x, w2, bf).reshape(-1, q, l) + h.T[None]
+        mx = jnp.max(logits, axis=1)
+        lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None, :]), axis=1))
+        picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
+        nll = jnp.sum(w[:, None] * (lse - picked))
+        return nll + lam * jnp.sum(h * h) + lam * jnp.sum(t[l * q :] ** 2)
+
+    vgh = jax.value_and_grad(lambda t: loss_handlse(t, True))
+    timed("vg bf16 hand-lse", loop(lambda t: g(t, vgh)), theta)
+
+    def loss_nia(t, bf):
+        """(N, i, a) logits via direct dot_general on jfull (no w2 copy)."""
+        h = t[: l * q].reshape(l, q)
+        jfull = plm_mod._expand_full(t[l * q :], l, q)
+        x3 = x.reshape(-1, l, q)
+        logits = jax.lax.dot_general(
+            x3.astype(jnp.bfloat16 if bf else x3.dtype),
+            jfull.astype(jnp.bfloat16 if bf else jfull.dtype),
+            dimension_numbers=(((1, 2), (1, 3)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + h[None]  # (N, i, a)
+        mx = jnp.max(logits, axis=2)
+        lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, :, None]), axis=2))
+        mask_nia = jnp.swapaxes(maskq, 1, 2)
+        picked = jnp.sum(jnp.where(mask_nia, logits, 0), axis=2)
+        nll = jnp.sum(w[:, None] * (lse - picked))
+        return nll + lam * jnp.sum(h * h) + lam * jnp.sum(t[l * q :] ** 2)
+
+    vgn = jax.value_and_grad(lambda t: loss_nia(t, True))
+    timed("vg bf16 (N,i,a) no-w2-copy", loop(lambda t: g(t, vgn)), theta)
+
+    # sanity: all variants agree
+    f0 = loss(theta, False)
+    for name, fv in [("hand-lse", loss_handlse(theta, False)),
+                     ("nia", loss_nia(theta, False))]:
+        rel = abs(float(fv) - float(f0)) / abs(float(f0))
+        print(f"variant {name}: rel loss diff {rel:.2e}", flush=True)
+
 
 def section_stream():
     print("== stream (100k synthetic RNA) ==", flush=True)
