@@ -55,13 +55,15 @@ class PlmDCAException(Exception):
 
 
 def default_mm_bf16() -> bool:
-    """Default matmul precision: bfloat16 operands on TPU (native MXU double
-    rate; ranking parity is CI-tested), float32 elsewhere (bf16 is emulated
-    and slow on CPU, and CPU runs are the parity-test path)."""
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    """Default matmul precision: float32 operands everywhere.
+
+    Measured on v5e (scripts/r3_tpu_probe.py): casting the operands to
+    bfloat16 per evaluation buys nothing on the full-batch step (the
+    astype passes cancel the MXU-rate gain) and costs ~40% on the
+    bandwidth-bound streaming path.  bf16 remains available as an explicit
+    knob (``precision="bfloat16"``); ranking parity under it is CI-tested
+    and verified on chip."""
+    return False
 
 
 def resolve_precision(precision) -> bool:
@@ -418,8 +420,8 @@ def fit_plm(
     ``mm_bf16``: run the logits matmuls (forward and backward) with
     bfloat16 operands and f32 accumulation — double MXU throughput at a
     small cost in gradient precision; score *rankings* are preserved
-    (CI-tested).  ``None`` (default) resolves to True on TPU backends and
-    False elsewhere (:func:`default_mm_bf16`).
+    (CI-tested).  ``None`` (default) resolves via :func:`default_mm_bf16`
+    (currently float32 everywhere — measured faster on v5e).
     """
     if mm_bf16 is None:
         mm_bf16 = default_mm_bf16()
