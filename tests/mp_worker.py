@@ -15,6 +15,11 @@ masked sharded weights, and a data-sharded plm fit.
 import os
 import sys
 
+# Spawned by absolute script path: sys.path[0] is tests/, so the repo root
+# (one level up) must be added for `import pydca_tpu` to resolve without an
+# installed package or an inherited PYTHONPATH.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
