@@ -48,6 +48,23 @@ PEAK_BF16 = {
 }
 
 
+def sync(x):
+    """Force completion visible to the HOST for every array leaf of ``x``.
+
+    On the tunneled axon backend ``block_until_ready`` can return before the
+    remote execution has actually finished (observed: warm repeat calls
+    "completing" in 0.1 ms that take 50+ ms when their value is fetched), so
+    every timed section must end in a device_get.  Fetching one element of
+    each leaf transfers O(bytes-of-a-scalar), not the whole array.
+    """
+    import jax
+
+    for a in jax.tree_util.tree_leaves(x):
+        if hasattr(a, "ravel") and getattr(a, "size", 0):
+            jax.device_get(a.ravel()[0])
+    return x
+
+
 def emit(metric, value, unit, vs_baseline):
     print(
         json.dumps(
@@ -90,13 +107,13 @@ def bench_plm(msa_file, biomolecule, name, runs=3):
     l, q = msa.seqs_len, msa.q
     m = jnp.asarray(msa.data, jnp.int32)
     w = stats.sequence_weights(m, 0.8, q)
-    w.block_until_ready()
+    sync(w)
     lam = jnp.float32(0.2 * (l - 1))
 
     def run():
         t0 = time.time()
         res = fit_plm(m, w, lam, lam, l, q, max_iterations=ITERS)
-        res.x.block_until_ready()
+        sync(res.x)
         return time.time() - t0
 
     cold = run()  # first call: pays the one-time JIT compilation
@@ -168,22 +185,30 @@ def bench_mfu(msa, m, w, lam):
     theta0 = plm_mod.init_params(m, w, l, q)
     grad_fn = jax.value_and_grad(plm_mod._plm_loss_prepped)
     mm_bf16 = plm_mod.default_mm_bf16()  # the precision fit_plm actually uses
-    reps = 30
+    reps = 150  # ~1.3 ms/eval: 150 reps amortize the ~15-20 ms tunnel
+    #            dispatch+fetch overhead below 1% (reps=30 buried it in the
+    #            per-eval time and understated MFU by ~1.5x)
 
     @jax.jit
-    def run(theta):
+    def run(theta, shift):
         def step(i, acc):
             fx, g = grad_fn(
-                theta + 0.0 * acc, x, maskq, w, lam, lam, l, q, mm_bf16
+                theta + 0.0 * acc + shift, x, maskq, w, lam, lam, l, q, mm_bf16
             )
             return acc + fx + g[0]
 
         return jax.lax.fori_loop(0, reps, step, jnp.float32(0))
 
-    run(theta0).block_until_ready()  # compile
-    t0 = time.time()
-    run(theta0).block_until_ready()
-    dt = (time.time() - t0) / reps
+    float(run(theta0, jnp.float32(0)))  # compile + run-to-host
+    dt = 1e9
+    for trial in range(3):
+        # vary an operand per trial and fetch the scalar result: on the
+        # tunneled backend block_until_ready alone can return before remote
+        # execution finishes; a host fetch of the value cannot.
+        shift = jnp.float32(1e-12 * (trial + 1))
+        t0 = time.time()
+        float(run(theta0, shift))
+        dt = min(dt, (time.time() - t0) / reps)
     flops = 4.0 * n * (l * q) ** 2
     tflops = flops / dt / 1e12
 
@@ -212,7 +237,7 @@ def bench_deep():
 
     t0 = time.time()
     w = stats.sequence_weights(m, 0.8, q)
-    w.block_until_ready()
+    sync(w)
     wdt = time.time() - t0
     emit("weights_100k_pair_identities", n * n / wdt / 1e9, "G pairs/s", None)
 
@@ -221,7 +246,7 @@ def bench_deep():
     def run():
         t0 = time.time()
         r = fit_plm(m, w, lam, lam, l, q, max_iterations=10, seq_block=16384)
-        r.x.block_until_ready()
+        sync(r.x)
         return int(r.num_iters), time.time() - t0
 
     iters, cold = run()  # includes the scan-program compile
@@ -261,7 +286,7 @@ def bench_protein_scale():
     def run():
         t0 = time.time()
         out = _mf_fused_pipeline(m, l, q, 0.8, 0.5, jnp.float32)
-        jax.block_until_ready(out)
+        sync(out)
         return time.time() - t0
 
     cold = run()
@@ -273,9 +298,9 @@ def bench_protein_scale():
     key = jax.random.PRNGKey(0)
     a = jax.random.normal(key, (d, 256), jnp.float32)
     c = a @ a.T + d * jnp.eye(d, dtype=jnp.float32)
-    linalg.spd_inverse(c).block_until_ready()
+    sync(linalg.spd_inverse(c))
     t0 = time.time()
-    linalg.spd_inverse(c + 1.0).block_until_ready()
+    sync(linalg.spd_inverse(c + 1.0))
     emit(f"spd_inverse_{d}sq_warm_s", time.time() - t0, "s", None)
 
 
@@ -312,7 +337,7 @@ def bench_family():
     def run():
         t0 = time.time()
         thetas, _ = family_plm_fit(batch, max_iterations=20)
-        thetas.block_until_ready()
+        sync(thetas)
         return time.time() - t0
 
     run()  # warm-up

@@ -5,7 +5,13 @@ compilation, and first execution. Run with PYDCA_TPU_CACHE_DIR="" to disable
 the persistent compilation cache (true cold start).
 """
 
+import os
+import sys
 import time
+
+# run-by-path bootstrap: make the repo root importable regardless of
+# PYTHONPATH (which carries the TPU plugin dir on this host)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,11 @@ timed body ends in a full reduction of the real output (no DCE traps).
 """
 
 import sys
+import os
+# run-by-path bootstrap: make the repo root importable regardless of
+# PYTHONPATH (which carries the TPU plugin dir on this host)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -14,6 +14,11 @@ Prints one timing line per stage.
 """
 
 import sys
+import os
+# run-by-path bootstrap: make the repo root importable regardless of
+# PYTHONPATH (which carries the TPU plugin dir on this host)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
