@@ -2,6 +2,12 @@
 
 All operands pre-cast OUTSIDE the timed loop where loop-invariant; every
 timed body ends in a full reduction of the real output (no DCE traps).
+
+Timing is fetch-forced (``float(...)`` on the result): on the tunneled axon
+backend ``block_until_ready`` can return before remote execution finishes,
+and at REPS=30 the ~15-20 ms fixed dispatch+fetch overhead is ~30% of the
+wall — use the per-eval deltas between REPS settings, or trust bench.py's
+150-rep figures, for absolute rates.
 """
 
 import sys
@@ -26,9 +32,9 @@ REPS = 30
 
 def timed(label, fn, *args):
     jitted = jax.jit(fn)
-    jitted(*args).block_until_ready()
+    float(jitted(*args))  # compile + run-to-host
     t0 = time.time()
-    jitted(*args).block_until_ready()
+    float(jitted(*args))  # fetch forces true completion (see module doc)
     dt = (time.time() - t0) / REPS
     print(f"{label:46s} {dt*1e3:9.3f} ms", flush=True)
     return dt
