@@ -54,15 +54,12 @@ def sync(x):
     On the tunneled axon backend ``block_until_ready`` can return before the
     remote execution has actually finished (observed: warm repeat calls
     "completing" in 0.1 ms that take 50+ ms when their value is fetched), so
-    every timed section must end in a device_get.  Fetching one element of
-    each leaf transfers O(bytes-of-a-scalar), not the whole array.
+    every timed section must end in a device_get.  Delegates to
+    :func:`pydca_tpu.profiling.sync` (one-element fetch per leaf).
     """
-    import jax
+    from pydca_tpu.profiling import sync as _sync
 
-    for a in jax.tree_util.tree_leaves(x):
-        if hasattr(a, "ravel") and getattr(a, "size", 0):
-            jax.device_get(a.ravel()[0])
-    return x
+    return _sync(x)
 
 
 def emit(metric, value, unit, vs_baseline):

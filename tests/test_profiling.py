@@ -39,3 +39,15 @@ def test_engine_timers_populated():
     inst2 = MeanFieldDCA(msa, "rna")
     inst2.get_sequences_weight()
     assert inst2.timers.elapsed("weights") > 0
+
+
+def test_sync_forces_host_visibility():
+    import jax.numpy as jnp
+
+    from pydca_tpu.profiling import sync
+
+    tree = {"a": jnp.arange(4.0), "b": (jnp.zeros(()), [3, None])}
+    out = sync(tree)
+    assert out is tree  # passthrough
+    sync(jnp.zeros((0,)))  # empty leaves are skipped, not fetched
+    sync(None)
