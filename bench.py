@@ -62,20 +62,16 @@ def sync(x):
     return _sync(x)
 
 
-def emit(metric, value, unit, vs_baseline):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 4),
-                "unit": unit,
-                "vs_baseline": round(vs_baseline, 2)
-                if vs_baseline is not None
-                else 0,
-            }
-        ),
-        flush=True,
-    )
+def emit(metric, value, unit, vs_baseline, note=None):
+    line = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else 0,
+    }
+    if note:
+        line["note"] = note
+    print(json.dumps(line), flush=True)
 
 
 def ref_plm_seconds(name):
@@ -153,7 +149,14 @@ def bench_mf():
         (ref_s / cold) if ref_s else None,
     )
     dt = min(run() for _ in range(2))
-    emit("mfdca_rf00167_fn_apc_wallclock", dt, "s", (ref_s / dt) if ref_s else None)
+    emit(
+        "mfdca_rf00167_fn_apc_wallclock",
+        dt,
+        "s",
+        (ref_s / dt) if ref_s else None,
+        note="reference timed with numba stubbed to pure numpy (numba not "
+        "installable here); vs a real numba install the multiplier is smaller",
+    )
 
 
 def bench_mfu(msa, m, w, lam):
@@ -182,9 +185,10 @@ def bench_mfu(msa, m, w, lam):
     theta0 = plm_mod.init_params(m, w, l, q)
     grad_fn = jax.value_and_grad(plm_mod._plm_loss_prepped)
     mm_bf16 = plm_mod.default_mm_bf16()  # the precision fit_plm actually uses
-    reps = 150  # ~1.3 ms/eval: 150 reps amortize the ~15-20 ms tunnel
-    #            dispatch+fetch overhead below 1% (reps=30 buried it in the
-    #            per-eval time and understated MFU by ~1.5x)
+    reps = 1500  # ~1.3 ms/eval: 1500 reps (~2 s/trial) amortize the
+    #             ~15-20 ms tunnel dispatch+fetch overhead to <1% (at
+    #             reps=150 the overhead was ~8-10% of the wall, a systematic
+    #             MFU understatement — ADVICE r3)
 
     @jax.jit
     def run(theta, shift):
@@ -291,14 +295,23 @@ def bench_protein_scale():
     warm = min(run() for _ in range(2))
     emit("mfdca_l1000_q21_pipeline_warm_s", warm, "s", None)
 
+    # Standalone 20000^2 SPD inverse: min-of-3 fetch-forced, varying the
+    # operand per run so no result cache can short-circuit.  (r3 published a
+    # single-run 61.6 s here — a one-shot tunnel stall, inconsistent with
+    # the 1.0 s warm pipeline above that CONTAINS this inverse; VERDICT r3.)
     d = l * (q - 1)
     key = jax.random.PRNGKey(0)
     a = jax.random.normal(key, (d, 256), jnp.float32)
     c = a @ a.T + d * jnp.eye(d, dtype=jnp.float32)
-    sync(linalg.spd_inverse(c))
-    t0 = time.time()
-    sync(linalg.spd_inverse(c + 1.0))
-    emit(f"spd_inverse_{d}sq_warm_s", time.time() - t0, "s", None)
+    sync(linalg.spd_inverse(c))  # compile + warm
+
+    def run_inv(shift):
+        t0 = time.time()
+        sync(linalg.spd_inverse(c + shift))
+        return time.time() - t0
+
+    dt = min(run_inv(jnp.float32(k + 1.0)) for k in range(3))
+    emit(f"spd_inverse_{d}sq_warm_s", dt, "s", None)
 
 
 def bench_family():

@@ -50,8 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument(
             "--precision",
             choices=["auto", "bfloat16", "float32"],
-            help="matmul operand precision (default auto: bfloat16 on TPU, "
-            "float32 elsewhere; accumulation is always float32)",
+            help="matmul operand precision (default auto = float32 operands; "
+            "on TPU the MXU still computes f32 matmuls as bf16-multiply/"
+            "f32-accumulate passes under JAX's DEFAULT precision. bfloat16 "
+            "casts the operands explicitly — measured no faster on v5e)",
         )
         sp.add_argument(
             "--checkpoint",

@@ -26,7 +26,7 @@ from . import score as score_mod
 from . import stats
 from .ops import linalg
 from .io.fasta import MSA, read_msa
-from .profiling import StageTimers
+from .profiling import StageTimers, sync
 
 logger = logging.getLogger(__name__)
 
@@ -227,7 +227,7 @@ class MeanFieldDCA:
                     self.msa.q,
                     dtype=self.dtype,
                 )
-                self.__weights.block_until_ready()
+                sync(self.__weights)
             self.timers.add_rate("weights", self.msa.num_seqs, "seqs")
         return self.__weights
 
@@ -341,7 +341,7 @@ class MeanFieldDCA:
                     self.__pseudocount,
                     self.dtype,
                 )
-            couplings.block_until_ready()
+            sync(couplings)
         self.timers.add_rate("pipeline", self.msa.num_seqs, "seqs")
         self.__weights = w
         if not bool(jnp.isfinite(couplings[0, 0])):
@@ -593,7 +593,10 @@ def _spd_inverse(c: jax.Array) -> jax.Array:
 
     Delegates to ``ops.linalg.spd_inverse``: Cholesky + divide-and-conquer
     triangular inverse + one SYRK, so the O(D^3) work runs as large MXU
-    matmuls (20000x20000 protein C inverts in ~0.7 s on one v5e chip vs
-    ~44 s for a blocked ``cho_solve`` against the identity).
+    matmuls.  Measured on one v5e chip: the full L=1000, q=21 mean-field
+    pipeline containing the 20000x20000 inverse runs in ~1.0 s warm
+    (BENCH ``mfdca_l1000_q21_pipeline_warm_s`` /
+    ``spd_inverse_20000sq_warm_s``), vs ~44 s for a blocked ``cho_solve``
+    against the identity.
     """
     return linalg.spd_inverse(c)

@@ -41,17 +41,24 @@ __all__ = ["StageTimers", "device_trace", "sync"]
 def sync(x):
     """Force completion of ``x`` *visible to the host*; returns ``x``.
 
-    Fetches one element of every array leaf via ``jax.device_get`` —
-    O(scalar) transfer per leaf, never the whole array.  Unlike
-    ``block_until_ready`` this cannot return before the producing remote
-    execution has finished (see module docstring), so it is the correct
-    terminator for a timed region on any backend.
+    Fetches one element of every array leaf via a SINGLE ``jax.device_get``
+    call — O(scalar) transfer per leaf, never the whole array, and one
+    host<->device round-trip regardless of leaf count (on the tunneled
+    backend each round-trip is ms-scale, so fetching leaves sequentially
+    would inflate multi-output timed regions).  Unlike ``block_until_ready``
+    this cannot return before the producing remote execution has finished
+    (see module docstring), so it is the correct terminator for a timed
+    region on any backend.
     """
     import jax
 
-    for leaf in jax.tree_util.tree_leaves(x):
-        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
-            jax.device_get(leaf.ravel()[0])
+    probes = [
+        leaf.ravel()[0]
+        for leaf in jax.tree_util.tree_leaves(x)
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0)
+    ]
+    if probes:
+        jax.device_get(probes)
     return x
 
 
