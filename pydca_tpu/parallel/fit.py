@@ -102,10 +102,13 @@ def _mf_pipeline_sharded(msa_s, w_s, pseudocount, l: int, q: int):
     coupling matrices are row-sharded over the 'model' axis, so the O(D^3)
     triangular-inverse matmuls and the final SYRK of
     :func:`pydca_tpu.ops.linalg.spd_inverse` distribute across chips.  The
-    Cholesky factorization itself has no distributed XLA kernel and runs
-    replicated — an explicit memory-budget call: at protein L=1000 the factor
-    is a 20k^2 f32 = 1.6 GiB buffer, comfortably inside one chip's HBM,
-    while the matmul FLOPs (~4/3 D^3, the actual cost) shard.
+    Cholesky factorization runs as the GEMM-rich blocked
+    :func:`pydca_tpu.ops.linalg.cholesky_blocked` for D > 4096: its
+    full-height slab updates carry the 'model' row sharding, so no chip
+    ever holds a replicated D^2 factor (at protein L=2000, D=40k, a
+    replicated factor would be 6.4 GiB — past one v5e chip's budget;
+    SURVEY section 5(c) "sharded dense solve").  Small D stays on XLA's
+    replicated kernel (faster below the sharding payoff point).
     Replaces the reference's single-threaded ``np.linalg.inv``
     (``msa_numerics.py:321-342``).
     """
@@ -119,7 +122,10 @@ def _mf_pipeline_sharded(msa_s, w_s, pseudocount, l: int, q: int):
     fi_reg = stats.regularize_fi(fi, q, pseudocount)
     corr = stats.corr_mat_from_gram(gram, fi_reg, pseudocount, l, q)
     corr = jax.lax.with_sharding_constraint(corr, P("model", None))
-    couplings = -linalg.spd_inverse(corr)
+    d = l * (q - 1)
+    couplings = -linalg.spd_inverse(
+        corr, chol_block=2048 if d > 4096 else None
+    )
     couplings = jax.lax.with_sharding_constraint(couplings, P("model", None))
     fn = score_mod.frobenius_norms_from_matrix(couplings, l, q - 1)
     fn_apc = score_mod.apc(fn, l)
@@ -192,6 +198,11 @@ def fit_plm_sharded(
     the data-sharded alignment with pad rows masked
     (:func:`_weights_on_sharded`).  Remaining kwargs pass to
     :func:`pydca_tpu.plm.fit_plm` (checkpointing, chunking, ...).
+
+    ``seq_block`` (in ``fit_kwargs``) composes with the mesh: the
+    streaming scan's blocks are placed ``P(None, 'data', None)`` so each
+    block's rows run data-parallel and the per-block gradient psums over
+    'data' (SURVEY section 5(a) — sequence-shard streaming of the MSA).
     """
     from ..plm import fit_plm
 
@@ -210,6 +221,13 @@ def fit_plm_sharded(
             w_s = _weights_on_sharded(mesh, msa_s, n, seqid, q)
         else:
             msa_s, w_s = shard_msa(mesh, msa.astype(np.int32), weights)
+        if fit_kwargs.get("seq_block") is not None:
+            # streaming-on-the-mesh: fit_plm blocks the HOST alignment and
+            # places the blocks itself; hand it unpadded weights
+            return fit_plm(
+                msa.astype(np.int32), w_s[:n], lam_h, lam_j, l, q,
+                max_iterations=max_iterations, mesh=mesh, **fit_kwargs,
+            )
         return fit_plm(
             msa_s, w_s, lam_h, lam_j, l, q,
             max_iterations=max_iterations, **fit_kwargs,

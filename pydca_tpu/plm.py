@@ -43,7 +43,7 @@ from . import score as score_mod
 from . import stats
 from .io.fasta import MSA, read_msa
 from .ops.lbfgs import lbfgs_init, lbfgs_steps, result_from_state
-from .profiling import StageTimers
+from .profiling import StageTimers, sync
 
 logger = logging.getLogger(__name__)
 
@@ -55,11 +55,16 @@ class PlmDCAException(Exception):
 
 
 def default_mm_bf16() -> bool:
-    """Default matmul precision: float32 operands everywhere.
+    """Default matmul precision flag: keep float32 *operands* (no explicit
+    bf16 casts).
 
+    Note what the hardware then does: under JAX's DEFAULT matmul precision
+    the TPU MXU executes f32-operand matmuls as bfloat16-multiply passes
+    with float32 accumulation — so the default path is already
+    bf16-compute/f32-accumulate, not true-f32 compute (docs/SCALING.md).
     Measured on v5e (scripts/r3_tpu_probe.py): casting the operands to
-    bfloat16 per evaluation buys nothing on the full-batch step (the
-    astype passes cancel the MXU-rate gain) and costs ~40% on the
+    bfloat16 explicitly per evaluation buys nothing on the full-batch step
+    (the astype passes cancel the single-pass gain) and costs ~40% on the
     bandwidth-bound streaming path.  bf16 remains available as an explicit
     knob (``precision="bfloat16"``); ranking parity under it is CI-tested
     and verified on chip."""
@@ -402,6 +407,7 @@ def fit_plm(
     checkpoint_every: int = 50,
     seq_block: Optional[int] = None,
     mm_bf16: Optional[bool] = None,
+    mesh=None,
 ):
     """Run the full plmDCA optimization; returns an LBFGSResult.
 
@@ -417,6 +423,16 @@ def fit_plm(
     many sequences per block — use for deep alignments (N ~ 10^5+) whose
     one-hot/logits tensors would not fit in device memory at once.
 
+    ``mesh``: an optional ``('data', 'model')`` device mesh.  Composes with
+    ``seq_block``: the ``(nb, block, L)`` sequence blocks are placed
+    ``P(None, 'data', None)``, so every scan step streams its block with
+    the rows data-parallel across the mesh and GSPMD psums the per-block
+    loss/gradient contributions over 'data' — deep alignments use all
+    chips (SURVEY section 5(a); previously streaming silently dropped to
+    one chip).  For the non-streaming path pass already-sharded
+    ``msa``/``weights`` instead (see
+    :func:`pydca_tpu.parallel.fit.fit_plm_sharded`).
+
     ``mm_bf16``: run the logits matmuls (forward and backward) with
     bfloat16 operands and f32 accumulation — double MXU throughput at a
     small cost in gradient precision; score *rankings* are preserved
@@ -427,11 +443,27 @@ def fit_plm(
         mm_bf16 = default_mm_bf16()
     chunked = seq_block is not None
     if chunked:
-        msa, weights = _pad_to_blocks(np.asarray(msa), weights, int(seq_block))
+        block = int(seq_block)
+        if mesh is not None:
+            # each block's rows shard over 'data': keep block divisible
+            ndata = int(mesh.shape["data"])
+            block = -(-block // ndata) * ndata
+        msa, weights = _pad_to_blocks(np.asarray(msa), weights, block)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            msa = jax.device_put(msa, NamedSharding(mesh, P(None, "data", None)))
+            weights = jax.device_put(weights, NamedSharding(mesh, P(None, "data")))
     # np.savez appends .npz to a bare path; normalize so the resume
     # existence check and the save target always name the same file
     if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
         checkpoint_path = checkpoint_path + ".npz"
+    import contextlib
+
+    def mesh_ctx():  # fresh context per use (context managers are one-shot)
+        return jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+
     pidx = jnp.asarray(stats.pair_index_matrix(l))
     state = None
     done_iters = 0
@@ -440,9 +472,10 @@ def fit_plm(
         done_iters = int(state.k)
         logger.info("resumed plmDCA optimizer state at iteration %d", done_iters)
     if state is None:
-        state = _plm_lbfgs_state0(
-            msa, weights, pidx, lambda_h, lambda_j, l, q, m, chunked, mm_bf16
-        )
+        with mesh_ctx():
+            state = _plm_lbfgs_state0(
+                msa, weights, pidx, lambda_h, lambda_j, l, q, m, chunked, mm_bf16
+            )
 
     step = max_iterations if chunk_size is None else int(chunk_size)
     last_saved = done_iters
@@ -451,10 +484,11 @@ def fit_plm(
     while done_iters < max_iterations and not is_done:
         todo = min(step, max_iterations - done_iters)
         try:
-            state = _plm_lbfgs_steps(
-                state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo,
-                chunked, mm_bf16,
-            )
+            with mesh_ctx():
+                state = _plm_lbfgs_steps(
+                    state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo,
+                    chunked, mm_bf16,
+                )
             # one device->host fetch per chunk (the tunnel makes each
             # transfer expensive; state.k and state.done ride together)
             done_iters, is_done = jax.device_get((state.k, state.done))
@@ -552,15 +586,10 @@ class PlmDCA:
         from .meanfield import _resolve_mesh
 
         # multi-chip: mesh="auto" shards sequences data-parallel over all
-        # visible devices; the streaming (seq_block) path — explicit OR
-        # auto-enabled for deep alignments above — stays single-chip (its
-        # host-side block reshape does not compose with GSPMD yet)
-        resolved = _resolve_mesh(mesh)
-        self.__mesh = resolved if self.__seq_block is None else None
-        if self.__seq_block is not None and resolved is not None:
-            logger.warning(
-                "seq_block streaming is single-chip; ignoring the mesh"
-            )
+        # visible devices.  Composes with streaming (seq_block): each
+        # (block, L) scan step is itself sharded P('data', None), so deep
+        # alignments stream on ALL chips (fit_plm's mesh parameter).
+        self.__mesh = _resolve_mesh(mesh)
         self.__verbose = bool(verbose)
         self.__checkpoint_path = checkpoint_path
         self.__params: Optional[np.ndarray] = None
@@ -635,7 +664,7 @@ class PlmDCA:
                         self.msa.q,
                         dtype=jnp.float32,
                     )
-                self.__weights.block_until_ready()
+                sync(self.__weights)
             self.timers.add_rate("weights", self.msa.num_seqs, "seqs")
         return self.__weights
 
@@ -669,6 +698,7 @@ class PlmDCA:
                         weights=weights,
                         progress_fn=_progress,
                         checkpoint_path=self.__checkpoint_path,
+                        seq_block=self.__seq_block,
                         mm_bf16=self.__mm_bf16,
                     )
                 else:
@@ -685,7 +715,7 @@ class PlmDCA:
                         seq_block=self.__seq_block,
                         mm_bf16=self.__mm_bf16,
                     )
-                res.x.block_until_ready()
+                sync(res.x)
             self.timers.add_rate("fit", int(res.num_iters), "iters")
             self.__fit_result = res
             if self.__verbose:

@@ -288,9 +288,9 @@ def test_fit_plm_recovers_from_device_error_via_checkpoint(tmp_path, monkeypatch
         )
 
 
-def test_auto_seq_block_disables_mesh(monkeypatch, tmp_path):
-    """Auto-enabled streaming (deep alignment) must also bypass the mesh,
-    exactly like explicit seq_block."""
+def test_seq_block_keeps_mesh(monkeypatch, tmp_path):
+    """Streaming (seq_block) now COMPOSES with the mesh (VERDICT r3 item 1):
+    the engine must keep the resolved mesh instead of dropping to one chip."""
     import numpy as np
     from pydca_tpu.io.fasta import MSA
     from pydca_tpu.alphabets import RNA
@@ -302,7 +302,10 @@ def test_auto_seq_block_disables_mesh(monkeypatch, tmp_path):
     )
     # explicit seq_block + auto mesh on the 8-device test backend
     inst = PlmDCA(msa, "rna", seq_block=8, mesh="auto", max_iterations=5)
-    assert inst._PlmDCA__mesh is None
-    # without seq_block the mesh resolves
+    assert inst._PlmDCA__mesh is not None
+    # and the streaming fit itself runs sharded end-to-end
+    params = inst.get_fields_and_couplings_from_backend()
+    assert np.isfinite(params).all()
+    # without seq_block the mesh resolves too
     inst2 = PlmDCA(msa, "rna", mesh="auto", max_iterations=5)
     assert inst2._PlmDCA__mesh is not None
