@@ -242,6 +242,25 @@ def bench_deep():
     wdt = time.time() - t0
     emit("weights_100k_pair_identities", n * n / wdt / 1e9, "G pairs/s", None)
 
+    # N = 10^6 weighting (VERDICT r3 item 6): the identity-counts kernel
+    # builds its one-hot in-kernel from the int8 codes, so this regime no
+    # longer materializes the (N, L*q) one-hot (120 MB codes vs 600 MB+
+    # one-hot here; 21 GB at protein L=1000).
+    n1m = 1_000_000
+    msa1m = base[rng.integers(0, 64, size=n1m)]
+    flip1m = rng.random((n1m, l)) < 0.15
+    msa1m = np.where(
+        flip1m, rng.integers(0, q, size=(n1m, l)), msa1m
+    ).astype(np.int32)
+    m1m = jnp.asarray(msa1m)
+    w = stats.sequence_weights(m1m, 0.8, q)  # compile + warm
+    sync(w)
+    t0 = time.time()
+    sync(stats.sequence_weights(jnp.asarray(msa1m[::-1].copy()), 0.8, q))
+    wdt = time.time() - t0
+    emit("weights_1m_pair_identities", n1m * n1m / wdt / 1e9, "G pairs/s", None)
+    emit("weights_1m_wallclock", wdt, "s", None)
+
     lam = jnp.float32(0.2 * (l - 1))
 
     def run():
@@ -318,9 +337,18 @@ def bench_family():
     import numpy as np
 
     from pydca_tpu.alphabets import RNA
-    from pydca_tpu.family import FamilyBatch, family_plm_fit
+    from pydca_tpu.family import (
+        FamilyBatch,
+        bucket_families,
+        family_plm_fit,
+        family_plm_fit_bucketed,
+        padded_flop_stats,
+    )
     from pydca_tpu.io.fasta import MSA
 
+    # heterogeneous batch: N in [64, 512], L in [16, 64] — the realistic
+    # Pfam-sweep regime where single-block padding burns MXU on pad
+    # rows/sites (VERDICT r3 item 8)
     f, nmax, lmax, q = 32, 512, 64, 5
     rng = np.random.default_rng(2)
 
@@ -334,8 +362,8 @@ def bench_family():
     msas = [
         MSA(
             data=synth(
-                int(rng.integers(nmax // 2, nmax + 1)),
-                int(rng.integers(lmax // 2, lmax + 1)),
+                int(rng.integers(nmax // 8, nmax + 1)),
+                int(rng.integers(lmax // 4, lmax + 1)),
                 k,
             ),
             alphabet=RNA,
@@ -343,16 +371,39 @@ def bench_family():
         for k in range(f)
     ]
     batch = FamilyBatch(msas)
+    stats_d = padded_flop_stats(msas)
+    stats_d["num_buckets"] = len(bucket_families(msas))
 
-    def run():
+    def run_single():
         t0 = time.time()
         thetas, _ = family_plm_fit(batch, max_iterations=20)
         sync(thetas)
         return time.time() - t0
 
-    run()  # warm-up
-    dt = run()
+    def run_bucketed():
+        t0 = time.time()
+        scores, _ = family_plm_fit_bucketed(msas, max_iterations=20)
+        return time.time() - t0
+
+    run_single()  # warm-up
+    dt = run_single()
     emit("family_batch_32x20it", f * 20 / dt, "family-iters/s", None)
+    run_bucketed()  # warm-up (compiles one program per bucket)
+    dtb = run_bucketed()
+    emit("family_batch_32x20it_bucketed", f * 20 / dtb, "family-iters/s", None)
+    emit(
+        "family_batch_padded_flop_waste",
+        stats_d["single_block_waste"],
+        "x (single-block)",
+        None,
+    )
+    emit(
+        "family_batch_padded_flop_waste_bucketed",
+        stats_d["bucketed_waste"],
+        "x",
+        None,
+        note=f"{stats_d['num_buckets'] if 'num_buckets' in stats_d else 0} buckets",
+    )
 
 
 def bench_first_fetch():

@@ -10,12 +10,15 @@ Mirrors the reference CLI (``pydca/plmdca_main.py``): subcommands
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 
 from ..backmap import SequenceBackmapper
 from ..config_log import configure_logging
 from ..io import output as dca_utilities
 from ..plm import PlmDCA
+
+logger = logging.getLogger(__name__)
 
 SUBCOMMANDS = ("compute_fn", "compute_di", "compute_params")
 
@@ -93,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--output_dir")
     sb.add_argument("--verbose", action="store_true")
     sb.add_argument("--apc", action="store_true")
+    sb.add_argument(
+        "--no_bucket",
+        action="store_true",
+        help="disable (N, L) bucketing and pad all families to one block "
+        "(bucketing groups similar-size families per compiled program, "
+        "cutting padded-FLOP waste on heterogeneous batches)",
+    )
     return parser
 
 
@@ -223,21 +233,45 @@ def execute_batch(
     output_dir=None,
     apc=False,
     verbose=False,
+    bucket=True,
 ):
-    """N families -> one vmapped fit -> per-family ranked score files."""
+    """N families -> vmapped fits -> per-family ranked score files.
+
+    By default families are grouped into (N, L) buckets with one compiled
+    program per bucket (``family_plm_fit_bucketed``), which bounds
+    padded-FLOP waste on heterogeneous batches; ``bucket=False`` pads
+    everything to a single block."""
     if verbose:
         configure_logging()
-    from ..family import FamilyBatch, family_plm_fit, family_plm_scores
+    from ..family import (
+        FamilyBatch,
+        family_plm_fit,
+        family_plm_fit_bucketed,
+        family_plm_scores,
+    )
     from ..io.fasta import read_msa
 
     msas = [read_msa(f, biomolecule) for f in msa_files]
-    batch = FamilyBatch(msas)
-    thetas, _states = family_plm_fit(
-        batch,
-        seqid=0.8 if seqid is None else float(seqid),
-        max_iterations=100 if max_iterations is None else int(max_iterations),
-    )
-    scores_per_family = family_plm_scores(batch, thetas, apc=apc)
+    seqid_v = 0.8 if seqid is None else float(seqid)
+    iters = 100 if max_iterations is None else int(max_iterations)
+    if bucket:
+        scores_per_family, stats_d = family_plm_fit_bucketed(
+            msas, seqid=seqid_v, max_iterations=iters, apc=apc
+        )
+        logger.info(
+            "family batch: %d families in %d buckets, padded-FLOP waste "
+            "%.2fx (single-block: %.2fx)",
+            len(msas),
+            stats_d["num_buckets"],
+            stats_d["bucketed_waste"],
+            stats_d["single_block_waste"],
+        )
+    else:
+        batch = FamilyBatch(msas)
+        thetas, _states = family_plm_fit(
+            batch, seqid=seqid_v, max_iterations=iters
+        )
+        scores_per_family = family_plm_scores(batch, thetas, apc=apc)
     if not output_dir:
         output_dir = "PLMDCA_batch_output"
     dca_utilities.create_directories(output_dir)
@@ -284,6 +318,7 @@ def run_plm_dca(argv=None):
             output_dir=args.output_dir,
             apc=args.apc,
             verbose=args.verbose,
+            bucket=not args.no_bucket,
         )
         return
     execute_from_command_line(

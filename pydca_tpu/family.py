@@ -41,13 +41,21 @@ __all__ = [
     "family_plm_fit",
     "family_plm_scores",
     "family_meanfield_scores",
+    "bucket_families",
+    "padded_flop_stats",
+    "family_plm_fit_bucketed",
 ]
 
 
 class FamilyBatch:
-    """A set of same-biomolecule MSAs padded to a common (F, Nmax, Lmax)."""
+    """A set of same-biomolecule MSAs padded to a common (F, Nmax, Lmax).
 
-    def __init__(self, msas: Sequence[MSA]):
+    ``pad_to=(nmax, lmax)`` pads to the given bounds instead of the batch
+    maxima — bucketed runs use canonical power-of-two bounds so every
+    bucket of similar families reuses one compiled program shape.
+    """
+
+    def __init__(self, msas: Sequence[MSA], pad_to: Optional[Tuple[int, int]] = None):
         if not msas:
             raise ValueError("empty family batch")
         qs = {m.q for m in msas}
@@ -60,6 +68,12 @@ class FamilyBatch:
         self.nseqs = np.array([m.num_seqs for m in msas], np.int32)
         lmax = int(self.lengths.max())
         nmax = int(self.nseqs.max())
+        if pad_to is not None:
+            if pad_to[0] < nmax or pad_to[1] < lmax:
+                raise ValueError(
+                    f"pad_to {pad_to} smaller than batch maxima ({nmax}, {lmax})"
+                )
+            nmax, lmax = int(pad_to[0]), int(pad_to[1])
         data = np.full((len(msas), nmax, lmax), self.q, np.int32)  # pad token q
         for f, m in enumerate(msas):
             data[f, : m.num_seqs, : m.seqs_len] = m.data
@@ -303,3 +317,94 @@ def _family_mf_couplings(data, weights, site_mask, pseudocount, l: int, q: int):
         return -_spd_inverse(corr)
 
     return jax.vmap(one_family)(data, weights, site_mask)
+
+
+# ------------------------------------------------------------- bucketed batch
+def _pow2_at_least(x: int, floor: int) -> int:
+    n = max(int(x), floor)
+    return 1 << (n - 1).bit_length()
+
+
+def bucket_families(
+    msas: Sequence[MSA], *, min_n: int = 64, min_l: int = 16
+):
+    """Group family indices into (N, L) power-of-two buckets.
+
+    A single ``(F, Nmax, Lmax)`` block burns MXU time on pad rows/sites
+    whenever the families are heterogeneous, and the lock-step vmapped
+    ``while_loop`` runs every family until the slowest converges
+    (VERDICT r3 item 8).  Bucketing by rounded-up (N, L) bounds both
+    wastes: padding is at most ~4x the family's own size (2x per axis),
+    and lock-step applies within a bucket only.  Power-of-two bounds keep
+    the compiled program shapes canonical across runs.
+
+    Returns ``{(n_bound, l_bound): [original indices]}``.
+    """
+    groups = {}
+    for idx, m in enumerate(msas):
+        key = (
+            _pow2_at_least(m.num_seqs, min_n),
+            _pow2_at_least(m.seqs_len, min_l),
+        )
+        groups.setdefault(key, []).append(idx)
+    return groups
+
+
+def padded_flop_stats(msas: Sequence[MSA], groups=None) -> dict:
+    """Padded-vs-useful FLOP accounting for the plm data term.
+
+    Per family the dominant cost is the logits matmul,
+    ``N * (L*q)^2`` model FLOPs per objective evaluation (times a
+    constant).  Reports the single-block padding waste and the bucketed
+    waste so the bucketing payoff is measurable.
+    """
+    q = msas[0].q
+    cost = lambda n, l: float(n) * (float(l) * q) ** 2
+    useful = sum(cost(m.num_seqs, m.seqs_len) for m in msas)
+    nmax = max(m.num_seqs for m in msas)
+    lmax = max(m.seqs_len for m in msas)
+    single = len(msas) * cost(nmax, lmax)
+    if groups is None:
+        groups = bucket_families(msas)
+    bucketed = 0.0
+    for idxs in groups.values():
+        nb = max(msas[i].num_seqs for i in idxs)
+        lb = max(msas[i].seqs_len for i in idxs)
+        bucketed += len(idxs) * cost(nb, lb)
+    return {
+        "useful_flops": useful,
+        "single_block_flops": single,
+        "bucketed_flops": bucketed,
+        "single_block_waste": single / useful,
+        "bucketed_waste": bucketed / useful,
+    }
+
+
+def family_plm_fit_bucketed(
+    msas: Sequence[MSA],
+    *,
+    seqid: float = 0.8,
+    max_iterations: int = 100,
+    apc: bool = True,
+    min_n: int = 64,
+    min_l: int = 16,
+):
+    """Fit many heterogeneous families, one compiled program per bucket.
+
+    Returns ``(scores_per_family, stats)`` with scores in the input order
+    (each a sorted [(i, j), score] list, FN-APC by default) and the
+    :func:`padded_flop_stats` dict extended with the bucket count.
+    """
+    groups = bucket_families(msas, min_n=min_n, min_l=min_l)
+    scores: List = [None] * len(msas)
+    for key in sorted(groups):
+        idxs = groups[key]
+        batch = FamilyBatch([msas[i] for i in idxs], pad_to=key)
+        thetas, _ = family_plm_fit(
+            batch, seqid=seqid, max_iterations=max_iterations
+        )
+        for i, sc in zip(idxs, family_plm_scores(batch, thetas, apc=apc)):
+            scores[i] = sc
+    stats_d = padded_flop_stats(msas, groups)
+    stats_d["num_buckets"] = len(groups)
+    return scores, stats_d

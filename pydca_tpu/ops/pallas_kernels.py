@@ -3,9 +3,11 @@
 Two kernels cover the reference's two heaviest loops:
 
 - :func:`identity_counts` — the O(N^2 L) all-pairs sequence-identity count
-  behind reweighting (``pydca/plmdca/plmdca_numerics.cpp:611-671``): an int8
-  one-hot Gram matmul on the MXU with the threshold-compare and row-sum fused
-  into the epilogue, so the (N, N) count matrix never leaves VMEM.
+  behind reweighting (``pydca/plmdca/plmdca_numerics.cpp:611-671``): takes
+  the int8 (N, L) codes and builds one-hot planes IN-KERNEL (q bf16 MXU
+  dots per tile pair), with the threshold-compare and row-sum fused into
+  the epilogue — neither the (N, L*q) one-hot nor the (N, N) count matrix
+  ever exists in HBM.
 - :func:`weighted_gram` — the weighted one-hot co-occurrence accumulation
   behind fi/fij/the correlation matrix
   (``pydca/meanfield_dca/msa_numerics.py:182-229``): a tiled
@@ -37,46 +39,77 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ------------------------------------------------------------ identity counts
-def _identity_kernel(thr_ref, xi_ref, xj_ref, valid_ref, out_ref):
-    j = pl.program_id(1)
+def _make_identity_codes_kernel(q: int):
+    def kernel(thr_ref, ci_ref, cj_ref, valid_ref, out_ref):
+        j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    counts = jax.lax.dot_general(
-        xi_ref[:],
-        xj_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (BI, BJ)
-    ind = (counts.astype(jnp.float32) > thr_ref[0, 0]).astype(jnp.int32)
-    # valid_ref: (1, BJ) 0/1 column mask — invalid (pad) rows never count
-    # as neighbors of anyone
-    sim = jnp.sum(ind * valid_ref[:], axis=1, keepdims=True)
-    out_ref[:] = out_ref[:] + sim
+        # (BI, Lpad) int8 codes (pad value -1 matches nothing); widen to
+        # int32 in-register — Mosaic on v5e has no int8 vector compare
+        ci = ci_ref[:].astype(jnp.int32)
+        cj = cj_ref[:].astype(jnp.int32)
+        # One-hot is built IN-KERNEL, one state plane at a time: q bf16
+        # (BI, Lpad) x (Lpad, BJ) MXU dots accumulate the match counts, so
+        # the (N, L*q) one-hot operand never exists anywhere — HBM traffic
+        # is the int8 codes alone (q-fold less), and the arithmetic runs at
+        # the MXU's native bf16 rate instead of an emulated int8 path.
+        # Products are 0/1 and counts <= L, so bf16 x bf16 -> f32 is exact.
+        acc = jnp.zeros((ci.shape[0], cj.shape[0]), jnp.float32)
+        for s in range(q):
+            xi = (ci == s).astype(jnp.bfloat16)
+            xj = (cj == s).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                xi,
+                xj,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ind = (acc > thr_ref[0, 0]).astype(jnp.int32)
+        # valid_ref: (1, BJ) 0/1 column mask — invalid (pad) rows never
+        # count as neighbors of anyone
+        sim = jnp.sum(ind * valid_ref[:], axis=1, keepdims=True)
+        out_ref[:] = out_ref[:] + sim
+
+    return kernel
 
 
 def identity_counts(
-    onehot: jax.Array,
+    codes: jax.Array,
     thr: float,
+    q: int,
     *,
     valid: jax.Array | None = None,
-    block: int = 512,
+    block: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """#{j : identity(i, j) > thr} for every row i.
+    """#{j : identity(i, j) > thr} for every row i, from int codes.
 
-    ``onehot``: (N, K) int8 one-hot alignment (K = L*q); zero-padded rows
-    contribute no matches.  ``valid``: optional (N,) bool mask — rows with
-    ``valid = False`` (multi-host shard padding) are excluded from every
-    neighbor count.  Returns (N,) int32.
+    ``codes``: (N, L) integer alignment with states in [0, q).  The one-hot
+    expansion happens inside the kernel (see ``_make_identity_codes_kernel``)
+    — at N=10^6, L=1000, q=21 the explicit one-hot would be ~21 GB, past
+    HBM, while the codes are 1 GB (SURVEY "O(N^2) weighting at 100k+ ...
+    never materialized"; reference loop ``plmdca_numerics.cpp:611-671``).
+    ``valid``: optional (N,) bool mask — rows with ``valid = False``
+    (multi-host shard padding) are excluded from every neighbor count.
+    Returns (N,) int32.
+
+    ``block``: 1024 measured fastest on v5e (108 G pairs/s at N=100k,
+    L=120, q=5 — 46x the r3 one-hot int8 kernel whose emulated int8
+    compare path managed 2.3 G pairs/s); 2048 exceeds the 16 MB scoped
+    VMEM (the f32 accumulator tile alone is block^2 * 4 bytes).
     """
-    n, k = onehot.shape
+    n, l = codes.shape
     bi = min(block, _round_up(n, 32))
     npad = _round_up(n, bi)
-    kpad = _round_up(k, 128)
-    x = jnp.pad(onehot, ((0, npad - n), (0, kpad - k)))
+    lpad = _round_up(l, 128)
+    x = jnp.pad(
+        codes.astype(jnp.int8),
+        ((0, npad - n), (0, lpad - l)),
+        constant_values=-1,
+    )
     if valid is None:
         v = jnp.ones((n,), jnp.int32)
     else:
@@ -85,17 +118,17 @@ def identity_counts(
     grid = (npad // bi, npad // bi)
     thr_arr = jnp.array([[thr]], jnp.float32)
     out = pl.pallas_call(
-        _identity_kernel,
+        _make_identity_codes_kernel(q),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (bi, kpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                    (bi, lpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (bi, kpad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                    (bi, lpad), lambda i, j: (j, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
                     (1, bi), lambda i, j: (0, j), memory_space=pltpu.VMEM

@@ -70,29 +70,59 @@ def _sequence_weights_impl(
     msa: jax.Array, thr: jax.Array, q: int, block: int, valid=None,
     has_valid: bool = False,
 ):
+    """Blocked identity-count scan; the one-hot exists only per tile pair.
+
+    Both the row AND column axes are blocked, and each block's one-hot is
+    built inside the scan bodies from the int codes — the full ``(N, L*q)``
+    one-hot never materializes (at N=10^6, L=1000, q=21 it would be ~21 GB;
+    the codes are 1 GB).  XLA keeps one ``(block, L*q)`` tile per operand
+    live at a time.
+    """
     n, l = msa.shape
-    x = jax.nn.one_hot(msa, q, dtype=jnp.int8).reshape(n, l * q)
     nblocks = -(-n // block)
     npad = nblocks * block
-    xp = jnp.pad(x, ((0, npad - n), (0, 0)))
+    # pad value -1: one-hots to all-zero rows, matches nothing
+    codes = jnp.pad(
+        msa.astype(jnp.int8), ((0, npad - n), (0, 0)), constant_values=-1
+    )
+    if has_valid:
+        vmask = valid.astype(jnp.int32)
+    else:
+        vmask = jnp.ones((n,), jnp.int32)
+    vmask = jnp.pad(vmask, (0, npad - n))
+    cblocks = codes.reshape(nblocks, block, l)
+    vblocks = vmask.reshape(nblocks, block)
 
-    def body(carry, xi):
-        # xi: (block, L*q) int8 row block; count identities vs all sequences.
-        counts = jax.lax.dot_general(
-            xi,
-            x,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (block, N)
-        ind = (counts.astype(jnp.float32) > thr).astype(jnp.int32)
-        if has_valid:
+    def one_hot8(c):
+        return (
+            (c[:, :, None] == jnp.arange(q, dtype=c.dtype))
+            .astype(jnp.int8)
+            .reshape(c.shape[0], l * q)
+        )
+
+    def body_i(_, ci):
+        xi = one_hot8(ci)
+
+        def body_j(acc, blk):
+            cj, vj = blk
+            counts = jax.lax.dot_general(
+                xi,
+                one_hot8(cj),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (block, block)
+            ind = (counts.astype(jnp.float32) > thr).astype(jnp.int32)
             # mask out padding/invalid sequences so they never count as
             # neighbors (multi-host shards pad to a common local size)
-            ind = ind * valid.astype(jnp.int32)[None, :]
-        sim = jnp.sum(ind, axis=1)
-        return carry, sim
+            ind = ind * vj[None, :]
+            return acc + jnp.sum(ind, axis=1, dtype=jnp.int32), None
 
-    _, sims = jax.lax.scan(body, None, xp.reshape(nblocks, block, l * q))
+        sims_i, _ = jax.lax.scan(
+            body_j, jnp.zeros((ci.shape[0],), jnp.int32), (cblocks, vblocks)
+        )
+        return None, sims_i
+
+    _, sims = jax.lax.scan(body_i, None, cblocks)
     return sims.reshape(npad)[:n]
 
 
@@ -152,9 +182,7 @@ def sequence_weights(
 def _pallas_counts(msa: jax.Array, thr: float, q: int, valid=None):
     from .ops.pallas_kernels import identity_counts
 
-    n, l = msa.shape
-    onehot = jax.nn.one_hot(msa, q, dtype=jnp.int8).reshape(n, l * q)
-    return identity_counts(onehot, thr, valid=valid)
+    return identity_counts(msa, thr, q, valid=valid)
 
 
 # ------------------------------------------------------------------ frequencies

@@ -12,10 +12,9 @@ def test_identity_counts_interpret():
     rng = np.random.default_rng(0)
     n, l, q = 70, 11, 5
     msa = rng.integers(0, q, size=(n, l))
-    onehot = np.eye(q, dtype=np.int8)[msa].reshape(n, l * q)
     thr = 0.8 * l
     counts = pk.identity_counts(
-        jnp.asarray(onehot), thr, block=32, interpret=True
+        jnp.asarray(msa), thr, q, block=32, interpret=True
     )
     iid = (msa[:, None, :] == msa[None, :, :]).sum(axis=2)
     expected = (iid > thr).sum(axis=1)
@@ -46,10 +45,9 @@ def test_identity_counts_masked_interpret():
     n, l, q = 50, 13, 5
     msa = rng.integers(0, q, (n, l))
     valid = rng.random(n) > 0.3
-    onehot = np.eye(q, dtype=np.int8)[msa].reshape(n, l * q)
     thr = 0.5 * l
     got = identity_counts(
-        jnp.asarray(onehot), thr, valid=jnp.asarray(valid), block=32,
+        jnp.asarray(msa), thr, q, valid=jnp.asarray(valid), block=32,
         interpret=True,
     )
     ident = (msa[:, None, :] == msa[None, :, :]).sum(-1)
@@ -77,10 +75,7 @@ def test_sequence_weights_pallas_masked_dispatch(monkeypatch):
         calls["used"] = True
         from pydca_tpu.ops.pallas_kernels import identity_counts
 
-        onehot = jnp.asarray(
-            np.eye(q_, dtype=np.int8)[np.asarray(msa_)].reshape(n, l * q_)
-        )
-        return identity_counts(onehot, float(thr), valid=valid_, interpret=True)
+        return identity_counts(msa_, float(thr), q_, valid=valid_, interpret=True)
 
     monkeypatch.setattr(stats, "_pallas_counts", fake_pallas)
     monkeypatch.setattr(stats, "_on_tpu", lambda: True)

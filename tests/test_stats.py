@@ -90,3 +90,29 @@ def test_pair_index_matrix():
             assert m[i, j] == c == m[j, i]
             assert stats.pair_index(i, j, l) == c
             c += 1
+
+
+def test_weights_million_sequences_memory():
+    """Compile (not run) the blocked weights scan at N=10^6, L=1000, q=21:
+    peak temp memory must be far below the ~21 GB one-hot that the old
+    implementation materialized (VERDICT r3 item 6).  The per-tile one-hot
+    design bounds live buffers at O(block * L * q)."""
+    import jax
+
+    n, l, q = 1_000_000, 1000, 21
+    spec = jax.ShapeDtypeStruct((n, l), jnp.int32)
+    compiled = (
+        jax.jit(
+            lambda m: stats._sequence_weights_impl(
+                m, jnp.float32(0.8 * l), q, 2048
+            )
+        )
+        .lower(spec)
+        .compile()
+    )
+    mem = compiled.memory_analysis()
+    onehot_bytes = n * l * q  # int8
+    assert mem.temp_size_in_bytes < 0.25 * onehot_bytes, (
+        f"temp {mem.temp_size_in_bytes/2**30:.2f} GiB suggests a "
+        f"materialized one-hot ({onehot_bytes/2**30:.2f} GiB)"
+    )
