@@ -406,6 +406,111 @@ def bench_family():
     )
 
 
+def bench_cli_cache_warm():
+    """Second-process cold start with a warm persistent compile cache.
+
+    The number a real user experiences on run 2 (VERDICT r3 item 3): a
+    FRESH process whose XLA executables load from the persistent cache
+    populated by a prior ``warmup`` process.  Runs as subprocesses BEFORE
+    this process initializes the TPU (two live TPU clients wedge the
+    tunnel), with idle gaps between launches (same reason).  Reference
+    baseline: the numba/C++ CLI's run-2 wall on this host (numba disk
+    cache warm) — mfdca ~30 s, so seconds-scale here is the bar.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    cache = tempfile.mkdtemp(prefix="pydca_xla_cache_")
+    env = dict(os.environ, PYDCA_TPU_CACHE_DIR=cache)
+    out = tempfile.mkdtemp(prefix="pydca_cli_bench_")
+
+    def run_cli(args, timeout=420):
+        return subprocess.run(
+            args, env=env, timeout=timeout,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode
+
+    # timed leg runs in-process behind an explicit tunnel-setup probe so
+    # the emitted wall separates what the framework controls (cache load +
+    # execute + steady-state fetches) from the per-process tunnel setup
+    # (measured 35 s - 7 min on this host, ~ms on an attached TPU)
+    probe_tmpl = (
+        "import json, time\n"
+        "import jax, jax.numpy as jnp\n"
+        "t0 = time.time()\n"
+        "jax.device_get(jnp.zeros((1,), jnp.float32))\n"
+        "t1 = time.time()\n"
+        "from pydca_tpu.cli.{mod} import {fn}\n"
+        "{fn}({argv!r})\n"
+        "print(json.dumps({{'setup': t1 - t0, 'cli': time.time() - t1}}))\n"
+    )
+
+    def run_timed(mod, fn, argv, timeout=900):
+        import subprocess as sp
+
+        r = sp.run(
+            [sys.executable, "-c", probe_tmpl.format(mod=mod, fn=fn, argv=argv)],
+            env=env, timeout=timeout, capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            return None
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    try:
+        plan = [
+            (
+                "mfdca", "mfdca_main", "run_meanfield_dca",
+                ["mfdca", "warmup", "rna", RF00167],
+                ["compute_fn", "rna", RF00167, "--apc",
+                 "--output_dir", os.path.join(out, "mf")],
+            ),
+            (
+                "plmdca", "plmdca_main", "run_plm_dca",
+                ["plmdca", "warmup", "rna", RF00167],
+                ["compute_fn", "rna", RF00167, "--apc",
+                 "--max_iterations", str(ITERS),
+                 "--output_dir", os.path.join(out, "plm")],
+            ),
+        ]
+        for name, mod, fn, warm_cmd, timed_argv in plan:
+            try:
+                if run_cli(warm_cmd) != 0:
+                    continue
+                time.sleep(20)  # tunnel needs idle time between processes
+                res = run_timed(mod, fn, timed_argv)
+                time.sleep(20)
+            except Exception as exc:  # a tunnel stall on one leg only
+                print(
+                    f"# bench_cli_cache_warm {name} leg skipped: {exc}",
+                    file=sys.stderr,
+                )
+                time.sleep(30)
+                continue
+            if res is not None:
+                emit(
+                    f"{name}_cli_cachewarm_wall_s",
+                    res["cli"],
+                    "s",
+                    None,
+                    note="fresh process, persistent compile cache warm; "
+                    "excludes the one-time tunnel setup fetch (next line)",
+                )
+                emit(
+                    f"{name}_cli_process_tunnel_setup_s",
+                    res["setup"],
+                    "s",
+                    None,
+                    note="per-process tunneled-TPU setup, ~ms on an "
+                    "attached TPU; outside the framework's control",
+                )
+    except Exception as exc:  # never let the CLI bench kill the matrix
+        print(f"# bench_cli_cache_warm skipped: {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(cache, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_first_fetch():
     """One-time cost of the first device->host transfer in this process.
 
@@ -429,6 +534,12 @@ def main():
     # here, so the *_cold_wallclock lines measure true XLA compile cost.
     # CLI runs do enable it (pydca_tpu.runtime.enable_compilation_cache).
     only = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+    # MUST run first: spawns CLI subprocesses that need the TPU while this
+    # process has not initialized its own client yet.
+    if only in ("all", "cli"):
+        bench_cli_cache_warm()
+        time.sleep(15)
 
     bench_first_fetch()
 

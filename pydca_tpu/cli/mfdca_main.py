@@ -69,6 +69,19 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--linear_dist", type=int)
             sp.add_argument("--num_site_pairs", type=int)
 
+    # warm the persistent compilation cache for a dataset's shapes
+    sw = subparsers.add_parser(
+        "warmup",
+        help="compile the mfDCA programs for this MSA's shapes into the "
+        "persistent cache (no compute); the next mfdca process on the "
+        "same MSA starts cache-warm",
+    )
+    sw.add_argument("biomolecule", choices=["protein", "PROTEIN", "rna", "RNA"])
+    sw.add_argument("msa_file")
+    sw.add_argument("--seqid", type=float)
+    sw.add_argument("--pseudocount", type=float)
+    sw.add_argument("--verbose", action="store_true")
+
     # family batching: N MSAs -> one vmapped mean-field device program
     sb = subparsers.add_parser(
         "compute_fn_batch",
@@ -318,6 +331,25 @@ def run_meanfield_dca(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.the_command == "warmup":
+        if args.verbose:
+            configure_logging()
+        from ..io.fasta import read_msa
+        from ..warmup import warmup_meanfield
+
+        msa = read_msa(args.msa_file, args.biomolecule)
+        dt = warmup_meanfield(
+            msa.num_seqs,
+            msa.seqs_len,
+            msa.q,
+            seqid=0.8 if args.seqid is None else args.seqid,
+            pseudocount=0.5 if args.pseudocount is None else args.pseudocount,
+        )
+        print(
+            f"warmed mfDCA cache for N={msa.num_seqs}, L={msa.seqs_len}, "
+            f"q={msa.q} ({dt:.1f} s compile)"
+        )
+        return
     if args.the_command == "compute_fn_batch":
         execute_batch(
             msa_files=args.msa_files,

@@ -83,6 +83,23 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--linear_dist", type=int)
             sp.add_argument("--num_site_pairs", type=int)
 
+    # warm the persistent compilation cache for a dataset's shapes
+    sw = subparsers.add_parser(
+        "warmup",
+        help="compile the plmDCA programs for this MSA's shapes into the "
+        "persistent cache (no compute); the next plmdca process on the "
+        "same MSA starts cache-warm",
+    )
+    sw.add_argument("biomolecule", choices=["protein", "PROTEIN", "rna", "RNA"])
+    sw.add_argument("msa_file")
+    sw.add_argument("--seqid", type=float)
+    sw.add_argument("--max_iterations", type=int)
+    sw.add_argument("--seq_block", type=int)
+    sw.add_argument(
+        "--precision", choices=["auto", "bfloat16", "float32"]
+    )
+    sw.add_argument("--verbose", action="store_true")
+
     # family batching: N MSAs padded to one (F, Nmax, Lmax) block, fitted
     # and scored in one vmapped device program (pydca_tpu.family)
     sb = subparsers.add_parser(
@@ -309,6 +326,30 @@ def run_plm_dca(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.the_command == "warmup":
+        if args.verbose:
+            configure_logging()
+        from ..io.fasta import read_msa
+        from ..plm import resolve_precision
+        from ..warmup import warmup_plm
+
+        msa = read_msa(args.msa_file, args.biomolecule)
+        dt = warmup_plm(
+            msa.num_seqs,
+            msa.seqs_len,
+            msa.q,
+            seqid=0.8 if args.seqid is None else args.seqid,
+            max_iterations=100
+            if args.max_iterations is None
+            else args.max_iterations,
+            seq_block=args.seq_block,
+            mm_bf16=resolve_precision(args.precision),
+        )
+        print(
+            f"warmed plmDCA cache for N={msa.num_seqs}, L={msa.seqs_len}, "
+            f"q={msa.q} ({dt:.1f} s compile)"
+        )
+        return
     if args.the_command == "compute_fn_batch":
         execute_batch(
             msa_files=args.msa_files,
