@@ -93,17 +93,20 @@ def _weights_on_sharded(mesh: Mesh, msa_s, n_true: int, seqid: float, q: int):
     return jnp.where(valid, w, jnp.zeros((), w.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("l", "q"))
-def _mf_pipeline_sharded(msa_s, w_s, pseudocount, l: int, q: int):
+@functools.partial(jax.jit, static_argnames=("l", "q", "shard_solve"))
+def _mf_pipeline_sharded(
+    msa_s, w_s, pseudocount, l: int, q: int, shard_solve: bool = False
+):
     """Full mean-field pipeline under GSPMD: gram -> corr -> -C^{-1} -> FN/APC.
 
     Inputs arrive data-sharded (msa/weights over the 'data' axis); the gram
     contraction over N psums across 'data'.  The (L(q-1))^2 correlation and
     coupling matrices are row-sharded over the 'model' axis, so the O(D^3)
     triangular-inverse matmuls and the final SYRK of
-    :func:`pydca_tpu.ops.linalg.spd_inverse` distribute across chips.  The
-    Cholesky factorization runs as the GEMM-rich blocked
-    :func:`pydca_tpu.ops.linalg.cholesky_blocked` for D > 4096: its
+    :func:`pydca_tpu.ops.linalg.spd_inverse` distribute across chips.  With
+    ``shard_solve`` (a >1-way 'model' axis and D > 4096) the Cholesky
+    factorization runs as the GEMM-rich blocked
+    :func:`pydca_tpu.ops.linalg.cholesky_blocked`: its
     full-height slab updates carry the 'model' row sharding, so no chip
     ever holds a replicated D^2 factor (at protein L=2000, D=40k, a
     replicated factor would be 6.4 GiB — past one v5e chip's budget;
@@ -122,9 +125,10 @@ def _mf_pipeline_sharded(msa_s, w_s, pseudocount, l: int, q: int):
     fi_reg = stats.regularize_fi(fi, q, pseudocount)
     corr = stats.corr_mat_from_gram(gram, fi_reg, pseudocount, l, q)
     corr = jax.lax.with_sharding_constraint(corr, P("model", None))
-    d = l * (q - 1)
+    # blocked Cholesky trades ~3x FLOPs for shardability: only worth it
+    # when a >1-way 'model' axis actually distributes the GEMMs
     couplings = -linalg.spd_inverse(
-        corr, chol_block=2048 if d > 4096 else None
+        corr, chol_block=2048 if shard_solve else None
     )
     couplings = jax.lax.with_sharding_constraint(couplings, P("model", None))
     fn = score_mod.frobenius_norms_from_matrix(couplings, l, q - 1)
@@ -164,8 +168,9 @@ def mfdca_sharded(
             w_s = _weights_on_sharded(mesh, msa_s, n, seqid, q)
         else:
             msa_s, w_s = shard_msa(mesh, msa.astype(np.int32), weights)
+        shard_solve = int(mesh.shape.get("model", 1)) > 1 and l * (q - 1) > 4096
         fn, fn_apc, couplings = _mf_pipeline_sharded(
-            msa_s, w_s, jnp.asarray(pseudocount, w_s.dtype), l, q
+            msa_s, w_s, jnp.asarray(pseudocount, w_s.dtype), l, q, shard_solve
         )
     if return_all:
         return {
