@@ -173,6 +173,11 @@ def bench_mfu(msa, m, w, lam):
     over the device tunnel includes ~10-25 ms dispatch latency, which at a
     ~2.4 ms kernel would understate MFU ~10x (scripts/profile_plm.py shows
     the breakdown).
+
+    The loop carry consumes the loss AND a vdot over the FULL gradient:
+    consuming only g[0] (r3) let XLA dead-code-eliminate the coupling
+    half of the backward (the expansion VJP and parts of the backward
+    matmul feed only g[l*q:]), silently inflating the r3 MFU ~2.6x.
     """
     import jax
     import jax.numpy as jnp
@@ -196,7 +201,8 @@ def bench_mfu(msa, m, w, lam):
             fx, g = grad_fn(
                 theta + 0.0 * acc + shift, x, maskq, w, lam, lam, l, q, mm_bf16
             )
-            return acc + fx + g[0]
+            # full-gradient consumption: no part of the backward can be DCE'd
+            return acc + fx + jnp.vdot(g, g) * jnp.float32(1e-30)
 
         return jax.lax.fori_loop(0, reps, step, jnp.float32(0))
 

@@ -59,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
             "casts the operands explicitly — measured no faster on v5e)",
         )
         sp.add_argument(
+            "--param_space",
+            choices=["auto", "w2", "compact"],
+            help="optimizer parameterization: compact (= auto default) uses "
+            "the reference's flat pair layout — measured fastest end-to-end "
+            "on TPU; w2 runs L-BFGS over the full symmetric coupling matrix "
+            "(2x cheaper per evaluation, 2x optimizer memory/traffic — "
+            "faster where the evaluation dominates, e.g. CPU)",
+        )
+        sp.add_argument(
             "--checkpoint",
             metavar="PATH",
             help="periodically save the optimizer state to PATH and resume "
@@ -143,6 +152,7 @@ def execute_from_command_line(
     precision=None,
     checkpoint=None,
     mesh="auto",
+    param_space="auto",
 ):
     if verbose:
         configure_logging()
@@ -159,6 +169,7 @@ def execute_from_command_line(
         precision=precision,
         checkpoint_path=checkpoint,
         mesh="auto" if mesh == "auto" else None,
+        param_space=param_space,
     )
     seqbackmapper = None
     if refseq_file:
@@ -376,6 +387,7 @@ def run_plm_dca(argv=None):
         precision=args.precision,
         checkpoint=args.checkpoint,
         mesh=args.mesh,
+        param_space=getattr(args, "param_space", None) or "auto",
         verbose=args.verbose,
         output_dir=args.output_dir,
         apc=args.apc,

@@ -58,6 +58,7 @@ class LBFGSResult(NamedTuple):
     num_iters: jax.Array
     converged: jax.Array  # True when gradient criterion met OR rounding-limit exit
     linesearch_failed: jax.Array
+    n_evals: jax.Array  # total objective/gradient evaluations (incl. init)
 
 
 class LBFGSState(NamedTuple):
@@ -79,12 +80,15 @@ class LBFGSState(NamedTuple):
     done: jax.Array
     converged: jax.Array
     ls_failed: jax.Array
+    n_evals: jax.Array  # objective/gradient evaluation counter
 
 
-def _two_loop(g, s_hist, y_hist, rho, k, m):
-    """Two-loop recursion over a circular history buffer.
+def _two_loop_reference(g, s_hist, y_hist, rho, k, m):
+    """Two-loop recursion over a circular history buffer (reference form).
 
     Invalid slots carry rho == 0 and contribute nothing (alpha = beta = 0).
+    Kept for testing: :func:`_two_loop` computes the same direction via the
+    compact representation, which is what production uses.
     """
     q = g
 
@@ -114,6 +118,59 @@ def _two_loop(g, s_hist, y_hist, rho, k, m):
 
     r = jax.lax.fori_loop(0, m, fwd, r)
     return -r
+
+
+def _two_loop(g, s_hist, y_hist, rho, k, m):
+    """Compact-representation L-BFGS direction (Byrd-Nocedal-Schnabel 1994).
+
+    Algebraically identical to the two-loop recursion with H0 = gamma*I:
+
+        H g = gamma*g + [S, gamma*Y] M [S^T g; gamma*Y^T g],
+        M   = [[R^{-T}(D + gamma*Y^T Y)R^{-1}, -R^{-T}], [-R^{-1}, 0]],
+
+    where R is the *chronologically* upper-triangular part of S^T Y and
+    D its diagonal.  The point on TPU: the recursion is 2m sequential
+    slice/vdot/axpy steps (~60 tiny kernels whose per-iteration cost
+    measured 13-14 ms at D=8.35M, ~7x the traffic roofline —
+    scripts/r4_lbfgs_overhead.py); this form is three (m, D)-by-D
+    matmuls plus m x m scalar algebra, reading the history twice.
+
+    The circular buffer is handled without gathers: chronological
+    position of slot s is (s - k) mod m, and the triangular structure is
+    applied as a mask in slot space; the tiny m x m system is solved
+    densely.  Invalid slots (rho == 0) carry zero rows, so their
+    contributions vanish; their R diagonal is padded to 1 for
+    nonsingularity.
+    """
+    dtype = g.dtype
+    slots = jnp.arange(m)
+    valid = rho != 0
+    pos = jnp.mod(slots - k, m)  # ascending = oldest -> newest
+    tri = (pos[:, None] <= pos[None, :]) & valid[:, None] & valid[None, :]
+
+    p = s_hist @ g  # (m,)
+    q = y_hist @ g  # (m,)
+    sy_mat = s_hist @ y_hist.T  # (m, m)
+    yy_mat = y_hist @ y_hist.T  # (m, m)
+    vv = valid[:, None] & valid[None, :]
+    yy_mat = jnp.where(vv, yy_mat, jnp.zeros((), dtype))
+    r_mat = jnp.where(tri, sy_mat, jnp.zeros((), dtype)) + jnp.diag(
+        jnp.where(valid, jnp.zeros((), dtype), jnp.ones((), dtype))
+    )
+    d_vec = jnp.where(valid, jnp.diagonal(sy_mat), jnp.zeros((), dtype))
+
+    # H0 scaling gamma = s.y / y.y from the newest valid pair
+    newest = jnp.mod(k - 1, m)
+    sy_n = sy_mat[newest, newest]
+    yy_n = yy_mat[newest, newest]
+    gamma = jnp.where((k > 0) & (yy_n > 0), sy_n / jnp.maximum(yy_n, 1e-30), 1.0)
+
+    rinv_p = jnp.linalg.solve(r_mat, p)
+    inner = d_vec * rinv_p + gamma * (yy_mat @ rinv_p) - gamma * q
+    top = jnp.linalg.solve(r_mat.T, inner)
+    bot = -rinv_p
+    hg = gamma * g + s_hist.T @ top + gamma * (y_hist.T @ bot)
+    return -hg
 
 
 def _cubic_step(a, fa, da, b, fb, db, lo, hi):
@@ -185,17 +242,19 @@ def _wolfe_linesearch(fun, x, f0, g0, direction, dg0, step0, ftol, wolfe,
         trials = trials + 1
         min_fgap = jnp.minimum(min_fgap, fnew - f0)
 
-        # track best strict-decrease point as acceptance fallback
-        better = fnew < best_f
+        ok_suff = suff(alpha, fnew)
+        ok_curv = curv(dgnew)
+        accept_now = ok_suff & ok_curv
+
+        # track best strict-decrease point as acceptance fallback; the
+        # accepted point also routes through the same single select round
+        # (full-vector selects are the traffic hot spot of this loop)
+        better = (fnew < best_f) | accept_now
         best_a = jnp.where(better, alpha, best_a)
         new_best_f = jnp.where(better, fnew, best_f)
         x_out = jnp.where(better, xnew, x_out)
         f_out = jnp.where(better, fnew, f_out)
         g_out = jnp.where(better, gnew, g_out)
-
-        ok_suff = suff(alpha, fnew)
-        ok_curv = curv(dgnew)
-        accept_now = ok_suff & ok_curv
 
         is_bracket = stage == 0
         # --- bracketing-stage transitions
@@ -253,14 +312,8 @@ def _wolfe_linesearch(fun, x, f0, g0, direction, dg0, step0, ftol, wolfe,
             interp,
         )
 
-        # on acceptance, route the accepted evaluation to the outputs
-        x_out = jnp.where(accept_now, xnew, x_out)
-        f_out = jnp.where(accept_now, fnew, f_out)
-        g_out = jnp.where(accept_now, gnew, g_out)
-        best_f2 = jnp.where(accept_now, fnew, new_best_f)
-
         return (n_stage, n_alpha, n_lo, n_f_lo, n_dg_lo, n_hi, n_f_hi,
-                n_dg_hi, best_a, best_f2, x_out, f_out, g_out,
+                n_dg_hi, best_a, new_best_f, x_out, f_out, g_out,
                 accepted | accept_now, trials, min_fgap)
 
     init = (
@@ -285,7 +338,7 @@ def _wolfe_linesearch(fun, x, f0, g0, direction, dg0, step0, ftol, wolfe,
     # resolution of f0 — mirror of libLBFGS LBFGSERR_ROUNDING_ERROR, which
     # the reference driver reports as "optimization completed"
     rounding = (~took_step) & (min_fgap <= eps_f * jnp.abs(f0))
-    return x_out, f_out, g_out, took_step, rounding
+    return x_out, f_out, g_out, took_step, rounding, trials
 
 
 def lbfgs_init(
@@ -310,6 +363,7 @@ def lbfgs_init(
         done=jnp.array(False),
         converged=jnp.array(False),
         ls_failed=jnp.array(False),
+        n_evals=jnp.array(1, jnp.int32),
     )
     # immediate convergence check (libLBFGS does this before iterating)
     gnorm0 = jnp.linalg.norm(g0)
@@ -354,47 +408,57 @@ def lbfgs_steps(
 
         step0 = jnp.where(st.k == 0, 1.0 / jnp.maximum(dnorm, 1e-30), 1.0).astype(dtype)
 
-        xnew, fnew, gnew, took_step, rounding = _wolfe_linesearch(
+        xnew, fnew, gnew, took_step, rounding, ls_trials = _wolfe_linesearch(
             fun, st.x, st.f, st.g, direction, dg0.astype(dtype), step0,
             jnp.array(ftol, dtype), jnp.array(wolfe, dtype), max_linesearch,
         )
 
-        def on_fail(st):
-            # rounding-limit exit counts as completion (plmdcaBackend.cpp:82-90)
-            return st._replace(
-                done=True,
-                converged=st.converged | rounding,
-                ls_failed=~rounding,
-            )
+        # Straight-line field-wise merge.  A lax.cond here lowers to a
+        # select over the ENTIRE state (both branches materialized) — at
+        # D=8.35M that and whole-(m, D) history copies made the machinery
+        # cost 13.2 ms/iter, ~7x its traffic roofline (measured,
+        # scripts/r4_lbfgs_overhead.py).  On failure the line search
+        # already returns (xnew, fnew, gnew) == (x, f, g) bitwise, so the
+        # big fields need no gating at all; s/y are then zero, sy = 0, and
+        # the history update self-gates.  Only scalars carry conditionals.
+        s = xnew - st.x
+        y = gnew - st.g
+        sy = jnp.vdot(s, y)
+        slot = jnp.mod(st.k, m)
+        do_update = took_step & (sy > 1e-10)
+        # row-level history write: select the ROW, then one in-place
+        # dynamic update — never copy/select the whole (m, D) buffer
+        s_row = jnp.where(
+            do_update, s, jax.lax.dynamic_index_in_dim(st.s_hist, slot, 0, False)
+        )
+        y_row = jnp.where(
+            do_update, y, jax.lax.dynamic_index_in_dim(st.y_hist, slot, 0, False)
+        )
+        s_hist = jax.lax.dynamic_update_index_in_dim(st.s_hist, s_row, slot, 0)
+        y_hist = jax.lax.dynamic_update_index_in_dim(st.y_hist, y_row, slot, 0)
+        rho_v = jnp.where(
+            do_update,
+            1.0 / jnp.where(sy == 0, 1.0, sy),
+            st.rho[slot],
+        ).astype(st.rho.dtype)
+        rho = st.rho.at[slot].set(rho_v)
 
-        def on_success(st):
-            s = xnew - st.x
-            y = gnew - st.g
-            sy = jnp.vdot(s, y)
-            slot = jnp.mod(st.k, m)
-            do_update = sy > 1e-10
-            s_hist = jnp.where(do_update, st.s_hist.at[slot].set(s), st.s_hist)
-            y_hist = jnp.where(do_update, st.y_hist.at[slot].set(y), st.y_hist)
-            rho = jnp.where(
-                do_update, st.rho.at[slot].set(1.0 / sy), st.rho
-            )
-            gnorm = jnp.linalg.norm(gnew)
-            xnorm = jnp.maximum(jnp.linalg.norm(xnew), 1.0)
-            conv = gnorm / xnorm <= epsilon
-            return LBFGSState(
-                x=xnew,
-                f=fnew,
-                g=gnew,
-                s_hist=s_hist,
-                y_hist=y_hist,
-                rho=rho,
-                k=st.k + 1,
-                done=conv,
-                converged=conv,
-                ls_failed=st.ls_failed,
-            )
-
-        return jax.lax.cond(took_step, on_success, on_fail, st)
+        gnorm = jnp.linalg.norm(gnew)
+        xnorm = jnp.maximum(jnp.linalg.norm(xnew), 1.0)
+        conv = gnorm / xnorm <= epsilon
+        return LBFGSState(
+            x=xnew,
+            f=fnew,
+            g=gnew,
+            s_hist=s_hist,
+            y_hist=y_hist,
+            rho=rho,
+            k=jnp.where(took_step, st.k + 1, st.k),
+            done=jnp.where(took_step, conv, True),
+            converged=jnp.where(took_step, conv, st.converged | rounding),
+            ls_failed=jnp.where(took_step, st.ls_failed, ~rounding),
+            n_evals=st.n_evals + ls_trials,
+        )
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -407,6 +471,7 @@ def result_from_state(state: LBFGSState) -> LBFGSResult:
         num_iters=state.k,
         converged=state.converged,
         linesearch_failed=state.ls_failed,
+        n_evals=state.n_evals,
     )
 
 

@@ -267,6 +267,121 @@ def plm_loss_and_grad(
     )
 
 
+# ------------------------------------------------- w2-space ("z-space") loss
+#
+# Measured on v5e at PF02826 shapes (scripts/r4_expand_probe2.py, honest
+# full-gradient timing): the compact-theta step costs 3.56 ms of which
+# ~2.55 ms is the coupling expansion (theta_J -> w2) and its VJP — the two
+# MXU matmuls are only 0.98 ms.  Optimizing directly over the FULL
+# symmetric coupling matrix w2 (the matmul operand itself) deletes the
+# expansion entirely: 1.0 ms/eval (68% MFU), 1.65 ms with the subspace
+# gradient projection below.  L-BFGS then runs on z = [h, w2] restricted
+# to the linear subspace S = {w2 symmetric-under-pair-mirror, zero
+# diagonal blocks}: the iterates stay in S because z0 is in S and every
+# gradient is projected onto S, so the optimization is plain L-BFGS of
+# the same strictly convex objective on S (same unique optimum as the
+# compact parameterization; the trajectory differs — a different inner
+# -product geometry — which is fine at the score-ranking parity bar).
+# Memory: z is (Lq)^2 + Lq floats and the L-BFGS history holds 2m+2 such
+# vectors, so this path is gated to problems where that fits comfortably
+# (see fit_plm); big-L problems keep the compact path.
+#
+# The projection P(G) = 0.5 (G + mirror(G)) with diagonal blocks zeroed,
+# where mirror[(j,b),(a,i)] = G[(i,a),(b,j)].  Computing mirror as the
+# XLA permutation transpose costs ~1.1 ms (67 MB full reversal); instead
+# the custom VJP below forms it as a SECOND backward matmul
+# ct_B^T @ x_A (0.49 ms at the MXU's shape-bound rate) — both operands
+# already exist: x_A is the (a,i)-ordered one-hot (= maskq) and ct_B is
+# the logits cotangent with its (q, l) axes swapped.
+
+
+_LOGITS_MM_SYM_CACHE: Dict[Tuple[int, int], object] = {}
+
+
+def _make_logits_mm_sym(l: int, q: int):
+    """(l, q)-specialized symmetric-projection matmul (cached)."""
+    key = (l, q)
+    if key in _LOGITS_MM_SYM_CACHE:
+        return _LOGITS_MM_SYM_CACHE[key]
+
+    offdiag = np.ones((l, l), np.float32)
+    np.fill_diagonal(offdiag, 0.0)
+
+    @jax.custom_vjp
+    def mm(x, xa, w2):
+        return jax.lax.dot_general(
+            x, w2, dimension_numbers=(((1,), (0,)), ((), ()))
+        )
+
+    def fwd(x, xa, w2):
+        return mm(x, xa, w2), (x, xa)
+
+    def bwd(res, ct):
+        x, xa = res
+        g_raw = jax.lax.dot_general(
+            x, ct, dimension_numbers=(((0,), (0,)), ((), ()))
+        )  # rows (j,b), cols (a,i)
+        ct_b = (
+            ct.reshape(-1, q, l).transpose(0, 2, 1).reshape(-1, l * q)
+        )  # columns (site, state) = (j, b) index order
+        mirror = jax.lax.dot_general(
+            ct_b, xa, dimension_numbers=(((0,), (0,)), ((), ()))
+        )  # rows (j,b), cols (a,i)
+        g4 = (0.5 * (g_raw + mirror)).reshape(l, q, q, l)
+        mask = jnp.asarray(offdiag)[:, None, None, :]
+        gsym = (g4 * mask).reshape(l * q, q * l)
+        return jnp.zeros_like(x), jnp.zeros_like(xa), gsym
+
+    mm.defvjp(fwd, bwd)
+    _LOGITS_MM_SYM_CACHE[key] = mm
+    return mm
+
+
+def theta_to_z(theta: jax.Array, l: int, q: int) -> jax.Array:
+    """Compact reference-layout theta -> z = [h, w2.ravel()] (one-time)."""
+    h = theta[: l * q]
+    w2 = (
+        _expand_full(theta[l * q :], l, q)
+        .transpose(1, 3, 2, 0)
+        .reshape(-1)
+    )
+    return jnp.concatenate([h, w2])
+
+
+def z_to_theta(z: jax.Array, l: int, q: int) -> jax.Array:
+    """z = [h, w2.ravel()] -> compact reference-layout theta (one-time).
+
+    Reads the (i < j) blocks (symmetrizing against float drift):
+    ``J_p(a, b) = 0.5 * (w4[j, b, a, i] + w4[i, a, b, j])``.
+    """
+    h = z[: l * q]
+    w4 = z[l * q :].reshape(l, q, q, l)
+    iu, ju = _triu_pairs(l)
+    blk = w4.transpose(3, 0, 2, 1)  # (i, j, a, b)
+    j_pairs = 0.5 * (blk[iu, ju] + jnp.swapaxes(blk[ju, iu], -1, -2))
+    return jnp.concatenate([h, j_pairs.reshape(-1)])
+
+
+def _plm_loss_w2_prepped(
+    z, x, xa, maskq, weights, lambda_h, lambda_j, l: int, q: int
+):
+    """Loss over z = [h, w2]; gradient arrives projected onto S.
+
+    The L2 regularizer reads ``0.5 * lambda_J * sum(w2^2)``: every pair
+    coupling appears twice in w2, so this equals the compact layout's
+    ``lambda_J * sum(J_triu^2)`` exactly (diagonal blocks are zero).
+    """
+    h = z[: l * q].reshape(l, q)
+    w2 = z[l * q :].reshape(l * q, q * l)
+    mm = _make_logits_mm_sym(l, q)
+    logits = mm(x, xa, w2).reshape(-1, q, l) + h.T[None]
+    lse = _lse_q(logits)
+    picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
+    nll = jnp.sum(weights[:, None] * (lse - picked))
+    reg = lambda_h * jnp.sum(h * h) + 0.5 * lambda_j * jnp.sum(w2 * w2)
+    return nll + reg
+
+
 # ------------------------------------------------- sequence-chunked (large N)
 def _pad_to_blocks(msa: np.ndarray, weights, block: int):
     """Split (N, L) into (nb, block, L) with zero-weight padding rows."""
@@ -355,40 +470,116 @@ def init_params(msa: jax.Array, weights: jax.Array, l: int, q: int) -> jax.Array
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "q", "num_steps", "chunked", "mm_bf16")
+    jax.jit,
+    static_argnames=("l", "q", "num_steps", "chunked", "mm_bf16", "w2space"),
 )
 def _plm_lbfgs_steps(
     state, msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, num_steps: int,
-    chunked: bool = False, mm_bf16: bool = False,
+    chunked: bool = False, mm_bf16: bool = False, w2space: bool = False,
 ):
-    fun = _make_loss_fun(msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16)
+    fun = _make_loss_fun(
+        msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16, w2space
+    )
     return lbfgs_steps(fun, state, num_steps)
 
 
-@functools.partial(jax.jit, static_argnames=("l", "q", "m", "chunked", "mm_bf16"))
+@functools.partial(
+    jax.jit, static_argnames=("l", "q", "m", "chunked", "mm_bf16", "w2space")
+)
 def _plm_lbfgs_state0(
     msa, weights, pidx, lambda_h, lambda_j, l: int, q: int, m: int,
-    chunked: bool = False, mm_bf16: bool = False,
+    chunked: bool = False, mm_bf16: bool = False, w2space: bool = False,
 ):
     flat_msa = msa.reshape(-1, l) if chunked else msa
     flat_w = weights.reshape(-1) if chunked else weights
     theta0 = init_params(flat_msa, flat_w, l, q)
-    fun = _make_loss_fun(msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16)
+    if w2space:
+        # J init is zero, so z0 = [h0, 0]: no expansion needed
+        theta0 = jnp.concatenate(
+            [theta0[: l * q], jnp.zeros((l * q) * (q * l), theta0.dtype)]
+        )
+    fun = _make_loss_fun(
+        msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16, w2space
+    )
     return lbfgs_init(fun, theta0, m=m)
 
 
-def _make_loss_fun(msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16):
+def _make_loss_fun(
+    msa, weights, pidx, lambda_h, lambda_j, l, q, chunked, mm_bf16,
+    w2space=False,
+):
     if chunked:
+        if w2space:
+            return lambda z: plm_loss_and_grad_w2_chunked(
+                z, msa, weights, lambda_h, lambda_j, l, q
+            )
         return lambda t: plm_loss_and_grad_chunked(
             t, msa, weights, pidx, lambda_h, lambda_j, l, q, mm_bf16
         )
     # Encode once per device program: the one-hot MSA and pick mask are
     # loop-invariant across all objective evaluations of an L-BFGS chunk.
     x, maskq = _prep_msa(msa, l, q, jnp.float32)
+    if w2space:
+        xa = maskq.astype(jnp.float32).reshape(-1, q * l)
+        grad_fn_z = jax.value_and_grad(_plm_loss_w2_prepped)
+        return lambda z: grad_fn_z(
+            z, x, xa, maskq, weights, lambda_h, lambda_j, l, q
+        )
     grad_fn = jax.value_and_grad(_plm_loss_prepped)
     return lambda t: grad_fn(
         t, x, maskq, weights, lambda_h, lambda_j, l, q, mm_bf16
     )
+
+
+@functools.partial(jax.jit, static_argnames=("l", "q"))
+def plm_loss_and_grad_w2_chunked(
+    z, msa_blocks, w_blocks, lambda_h, lambda_j, l, q
+):
+    """Streaming value+grad over z = [h, w2] (w2-space; see module notes).
+
+    Like :func:`plm_loss_and_grad_chunked` but WITHOUT the per-eval
+    coupling expansion and final triu pullback: the scan accumulates the
+    raw w2 cotangent and one projection onto the symmetric subspace runs
+    after the scan (its one-off cost is negligible against the streamed
+    blocks).
+    """
+    dtype = z.dtype
+    h = z[: l * q].reshape(l, q)
+    w2 = z[l * q :].reshape(l * q, q * l)
+
+    def data_term(params, msa_b, w_b):
+        h_b, w2_b = params
+        x, maskq = _prep_msa(msa_b, l, q, dtype)
+        logits = _logits_mm(x, w2_b, False).reshape(-1, q, l) + h_b.T[None]
+        lse = _lse_q(logits)
+        picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
+        return jnp.sum(w_b[:, None] * (lse - picked))
+
+    def body(carry, blk):
+        acc_f, acc_gh, acc_gw = carry
+        msa_b, w_b = blk
+        f_b, (gh_b, gw_b) = jax.value_and_grad(data_term)((h, w2), msa_b, w_b)
+        return (acc_f + f_b, acc_gh + gh_b, acc_gw + gw_b), None
+
+    init = (jnp.zeros((), dtype), jnp.zeros_like(h), jnp.zeros_like(w2))
+    (nll, gh, gw2), _ = jax.lax.scan(body, init, (msa_blocks, w_blocks))
+
+    # project the accumulated cotangent onto the symmetric zero-diag space
+    g4 = gw2.reshape(l, q, q, l)
+    mirror = g4.transpose(3, 2, 1, 0).reshape(l * q, q * l)
+    offdiag = 1.0 - jnp.eye(l, dtype=dtype)
+    gsym = (0.5 * (gw2 + mirror)).reshape(l, q, q, l) * offdiag[:, None, None, :]
+
+    loss = (
+        nll + lambda_h * jnp.sum(h * h) + 0.5 * lambda_j * jnp.sum(w2 * w2)
+    )
+    grad = jnp.concatenate(
+        [
+            (gh + 2.0 * lambda_h * h).reshape(-1),
+            (gsym.reshape(-1) + lambda_j * z[l * q :]),
+        ]
+    )
+    return loss, grad
 
 
 def fit_plm(
@@ -408,6 +599,7 @@ def fit_plm(
     seq_block: Optional[int] = None,
     mm_bf16: Optional[bool] = None,
     mesh=None,
+    param_space: str = "auto",
 ):
     """Run the full plmDCA optimization; returns an LBFGSResult.
 
@@ -438,9 +630,19 @@ def fit_plm(
     small cost in gradient precision; score *rankings* are preserved
     (CI-tested).  ``None`` (default) resolves via :func:`default_mm_bf16`
     (currently float32 everywhere — measured faster on v5e).
+
+    ``param_space``: ``"auto"`` (default) / ``"w2"`` / ``"compact"``.
+    ``"w2"`` runs L-BFGS directly over the full symmetric coupling matrix
+    (the matmul operand), deleting the per-evaluation expansion and its
+    VJP — 2.1x cheaper per evaluation on PF02826 (v5e), but the optimizer
+    machinery scales with the doubled vector size, so on TPU the compact
+    layout measures faster end-to-end and ``"auto"`` resolves to it (see
+    :func:`_resolve_param_space` for the measured trade-off).  The result
+    is converted back to the reference's compact layout either way.
     """
     if mm_bf16 is None:
         mm_bf16 = default_mm_bf16()
+    w2space = _resolve_param_space(param_space, l, q, m, mm_bf16)
     chunked = seq_block is not None
     if chunked:
         block = int(seq_block)
@@ -470,11 +672,21 @@ def fit_plm(
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         state = _load_state(checkpoint_path)
         done_iters = int(state.k)
+        # a checkpoint written in the other parameter space wins: its
+        # history vectors cannot be converted, only continued
+        ckpt_w2 = state.x.size == l * q + (l * q) * (q * l)
+        if ckpt_w2 != w2space:
+            logger.info(
+                "checkpoint is in %s space; continuing in that space",
+                "w2" if ckpt_w2 else "compact",
+            )
+            w2space = ckpt_w2
         logger.info("resumed plmDCA optimizer state at iteration %d", done_iters)
     if state is None:
         with mesh_ctx():
             state = _plm_lbfgs_state0(
-                msa, weights, pidx, lambda_h, lambda_j, l, q, m, chunked, mm_bf16
+                msa, weights, pidx, lambda_h, lambda_j, l, q, m, chunked,
+                mm_bf16, w2space,
             )
 
     step = max_iterations if chunk_size is None else int(chunk_size)
@@ -487,7 +699,7 @@ def fit_plm(
             with mesh_ctx():
                 state = _plm_lbfgs_steps(
                     state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo,
-                    chunked, mm_bf16,
+                    chunked, mm_bf16, w2space,
                 )
             # one device->host fetch per chunk (the tunnel makes each
             # transfer expensive; state.k and state.done ride together)
@@ -520,7 +732,55 @@ def fit_plm(
         ):
             _save_state(checkpoint_path, state)
             last_saved = done_iters
-    return result_from_state(state)
+    res = result_from_state(state)
+    if w2space:
+        # back to the reference's compact flat layout for the API surface
+        res = res._replace(x=z_to_theta(res.x, l, q))
+    return res
+
+
+# w2-space memory budget: the optimizer holds ~(2m + 4) vectors of
+# Lq + (Lq)^2 floats (x, g, direction, temps, m s/y pairs).  6 GiB keeps
+# a comfortable margin under one v5e chip's HBM next to the one-hot data.
+W2SPACE_MAX_BYTES = 6 << 30
+
+
+def _resolve_param_space(param_space: str, l: int, q: int, m: int, mm_bf16):
+    """``auto`` resolves to the compact reference layout.
+
+    Measured on v5e (scripts/r4_space_diag.py, scripts/r4_lbfgs_overhead.py):
+    although the w2-space *evaluation* is 2.1x cheaper (1.7 vs 3.56 ms on
+    PF02826 — no coupling expansion/VJP), the L-BFGS machinery cost is
+    linear in the parameter-vector size and dominated by loop-carry /
+    line-search traffic, so doubling D to (Lq)^2 loses more than the eval
+    saves (fit walls: compact 1.00 s vs w2 1.54 s on PF02826; 0.141 vs
+    0.159 s on RF00059).  w2 remains an explicit option: it is the faster
+    choice on backends where the eval dominates (e.g. CPU compile +
+    L=195 protein: the veryslow 100-iteration parity fit dropped ~3x),
+    and its memory gate below still guards it.
+    """
+    if param_space == "compact":
+        return False
+    if param_space != "w2":
+        if param_space != "auto":
+            raise PlmDCAException(
+                f"invalid param_space {param_space!r}; "
+                "choose auto, w2 or compact"
+            )
+        return False
+    if mm_bf16:
+        # the w2 path keeps f32 operands (its matmuls are the whole eval);
+        # honor an explicit bf16 request via the compact path
+        return False
+    vec_bytes = 4 * (l * q + (l * q) * (q * l))
+    if vec_bytes * (2 * m + 4) > W2SPACE_MAX_BYTES:
+        logger.warning(
+            "param_space='w2' needs ~%.1f GiB of optimizer vectors at "
+            "L=%d, q=%d; falling back to compact",
+            vec_bytes * (2 * m + 4) / 2**30, l, q,
+        )
+        return False
+    return True
 
 
 def _save_state(path: str, state) -> None:
@@ -533,7 +793,15 @@ def _load_state(path: str):
     from .ops.lbfgs import LBFGSState
 
     z = np.load(path if path.endswith(".npz") else path + ".npz")
-    return LBFGSState(**{k: jnp.asarray(z[k]) for k in LBFGSState._fields})
+    vals = {}
+    for k in LBFGSState._fields:
+        if k in z.files:
+            vals[k] = jnp.asarray(z[k])
+        elif k == "n_evals":  # checkpoints from before the eval counter
+            vals[k] = jnp.array(0, jnp.int32)
+        else:
+            raise KeyError(f"checkpoint missing field {k}")
+    return LBFGSState(**vals)
 
 
 # ----------------------------------------------------------------- engine class
@@ -560,6 +828,7 @@ class PlmDCA:
         seq_block: Optional[int] = None,
         precision: Optional[str] = None,
         mesh=None,
+        param_space: str = "auto",
     ):
         if isinstance(msa_file, MSA):
             self.msa = msa_file
@@ -583,6 +852,12 @@ class PlmDCA:
                 seq_block = max(1024, int((1 << 30) / (4 * l * self.msa.q)))
         self.__seq_block = seq_block
         self.__mm_bf16 = resolve_precision(precision)
+        if param_space not in ("auto", "w2", "compact"):
+            raise PlmDCAException(
+                f"invalid param_space {param_space!r}; "
+                "choose auto, w2 or compact"
+            )
+        self.__param_space = param_space
         from .meanfield import _resolve_mesh
 
         # multi-chip: mesh="auto" shards sequences data-parallel over all
@@ -700,6 +975,7 @@ class PlmDCA:
                         checkpoint_path=self.__checkpoint_path,
                         seq_block=self.__seq_block,
                         mm_bf16=self.__mm_bf16,
+                        param_space=self.__param_space,
                     )
                 else:
                     res = fit_plm(
@@ -714,6 +990,7 @@ class PlmDCA:
                         checkpoint_path=self.__checkpoint_path,
                         seq_block=self.__seq_block,
                         mm_bf16=self.__mm_bf16,
+                        param_space=self.__param_space,
                     )
                 sync(res.x)
             self.timers.add_rate("fit", int(res.num_iters), "iters")

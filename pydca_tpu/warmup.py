@@ -89,6 +89,7 @@ def warmup_plm(
     m: int = 5,
     seq_block: Optional[int] = None,
     mm_bf16: Optional[bool] = None,
+    param_space: str = "auto",
 ) -> float:
     """Compile the plmDCA programs (weights, L-BFGS init, every chunk-size
     step program the fit will invoke) for an (N, L, q) problem; returns
@@ -101,11 +102,13 @@ def warmup_plm(
     from .plm import (
         _plm_lbfgs_state0,
         _plm_lbfgs_steps,
+        _resolve_param_space,
         default_mm_bf16,
     )
 
     if mm_bf16 is None:
         mm_bf16 = default_mm_bf16()
+    w2space = _resolve_param_space(param_space, l, q, m, mm_bf16)
     t0 = time.perf_counter()
     _weights_warmup(n, l, q, seqid)
 
@@ -125,14 +128,15 @@ def warmup_plm(
 
     state_spec = jax.eval_shape(
         lambda msa, w, pidx: _plm_lbfgs_state0(
-            msa, w, pidx, lam, lam, l, q, m, chunked, mm_bf16
+            msa, w, pidx, lam, lam, l, q, m, chunked, mm_bf16, w2space
         ),
         msa_spec,
         w_spec,
         pidx_spec,
     )
     _plm_lbfgs_state0.lower(
-        msa_spec, w_spec, pidx_spec, lam, lam, l, q, m, chunked, mm_bf16
+        msa_spec, w_spec, pidx_spec, lam, lam, l, q, m, chunked, mm_bf16,
+        w2space,
     ).compile()
 
     # every distinct num_steps the chunked driver loop will request
@@ -146,7 +150,7 @@ def warmup_plm(
     for todo in sorted(todos):
         _plm_lbfgs_steps.lower(
             state_spec, msa_spec, w_spec, pidx_spec, lam, lam, l, q, todo,
-            chunked, mm_bf16,
+            chunked, mm_bf16, w2space,
         ).compile()
     dt = time.perf_counter() - t0
     logger.info(

@@ -28,14 +28,23 @@ PF02826 = "/root/reference/tests/tests_input/PF02826.faa"
 
 
 def timed(fn, *args, reps=300, trials=3):
-    """Time fn as a reps-fori_loop inside one jit; returns seconds/rep."""
+    """Time fn as a reps-fori_loop inside one jit; returns seconds/rep.
+
+    The carry consumes a FULL sum of every output leaf — consuming only
+    one element lets XLA dead-code-eliminate most of the op under test
+    (observed: the logits matmul 'ran' in 0.087 ms).  The extra reduction
+    pass costs ~0.05-0.1 ms/rep for 33-67 MB outputs; piece timings are
+    therefore slight overestimates.
+    """
 
     @jax.jit
     def run(shift, *a):
         def step(i, acc):
             out = fn(shift + 1e-30 * acc, *a)
             leaves = jax.tree_util.tree_leaves(out)
-            return acc + jnp.sum(leaves[0].ravel()[:1])
+            return acc + sum(
+                jnp.sum(leaf.astype(jnp.float32)) * 1e-30 for leaf in leaves
+            )
 
         return jax.lax.fori_loop(0, reps, step, jnp.float32(0))
 

@@ -309,3 +309,35 @@ def test_seq_block_keeps_mesh(monkeypatch, tmp_path):
     # without seq_block the mesh resolves too
     inst2 = PlmDCA(msa, "rna", mesh="auto", max_iterations=5)
     assert inst2._PlmDCA__mesh is not None
+
+
+def test_compact_direction_matches_two_loop():
+    """The compact-representation direction must equal the two-loop
+    recursion (Byrd-Nocedal-Schnabel equivalence) for partial, full, and
+    wrapped circular histories."""
+    from pydca_tpu.ops.lbfgs import _two_loop, _two_loop_reference
+
+    rng = np.random.default_rng(0)
+    d, m = 400, 5
+    for k in (0, 1, 3, 5, 7, 23):
+        s_hist = np.zeros((m, d))
+        y_hist = np.zeros((m, d))
+        rho = np.zeros(m)
+        for t in range(max(0, k - m), k):
+            slot = t % m
+            s = rng.normal(size=d)
+            y = s * rng.uniform(0.5, 2.0) + 0.1 * rng.normal(size=d)
+            if s @ y <= 0:
+                y = s  # keep curvature positive
+            s_hist[slot] = s
+            y_hist[slot] = y
+            rho[slot] = 1.0 / (s @ y)
+        g = rng.normal(size=d)
+        args = (
+            jnp.asarray(g), jnp.asarray(s_hist), jnp.asarray(y_hist),
+            jnp.asarray(rho), jnp.asarray(k, jnp.int32), m,
+        )
+        ref = np.asarray(_two_loop_reference(*args))
+        got = np.asarray(_two_loop(*args))
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10,
+                                   err_msg=f"k={k}")
