@@ -593,10 +593,11 @@ def _spd_inverse(c: jax.Array) -> jax.Array:
 
     Delegates to ``ops.linalg.spd_inverse``: Cholesky + divide-and-conquer
     triangular inverse + one SYRK, so the O(D^3) work runs as large MXU
-    matmuls.  Measured on one v5e chip: the full L=1000, q=21 mean-field
-    pipeline containing the 20000x20000 inverse runs in ~1.0 s warm
-    (BENCH ``mfdca_l1000_q21_pipeline_warm_s`` /
-    ``spd_inverse_20000sq_warm_s``), vs ~44 s for a blocked ``cho_solve``
-    against the identity.
+    matmuls.  Measured on one v5e chip (BENCH r4, min-of-3 fetch-forced):
+    the standalone 20000x20000 inverse runs in 0.72 s warm
+    (``spd_inverse_20000sq_warm_s``), consistent with the 0.93 s full
+    L=1000, q=21 pipeline that contains it
+    (``mfdca_l1000_q21_pipeline_warm_s``); a blocked ``cho_solve``
+    against the identity measured ~44 s.
     """
     return linalg.spd_inverse(c)
