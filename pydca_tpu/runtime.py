@@ -42,8 +42,10 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
             return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything that took meaningful compile time
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache even small programs: a CLI process compiles a handful of
+        # sub-second scoring/extraction jits whose compiles otherwise
+        # recur every invocation (cache-warm process walls are the metric)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as exc:  # pragma: no cover - config-name drift
         logger.warning("could not enable the XLA compilation cache: %s", exc)
