@@ -274,9 +274,12 @@ def bench_deep():
 
     lam = jnp.float32(0.2 * (l - 1))
 
-    def run():
+    def run(iters=50):
+        # 50 iterations amortize the fixed ~3 host<->device round trips of
+        # a chunked fit (ms each attached, up to ~1 s on degraded tunnel
+        # windows) so the line measures sustained streaming throughput
         t0 = time.time()
-        r = fit_plm(m, w, lam, lam, l, q, max_iterations=10, seq_block=16384)
+        r = fit_plm(m, w, lam, lam, l, q, max_iterations=iters, seq_block=16384)
         sync(r.x)
         return int(r.num_iters), time.time() - t0
 
@@ -408,10 +411,12 @@ def bench_family():
         return time.time() - t0
 
     run_single()  # warm-up
-    dt = run_single()
+    dt = min(run_single() for _ in range(2))
     emit("family_batch_32x20it", f * 20 / dt, "family-iters/s", None)
     run_bucketed()  # warm-up (compiles one program per bucket)
-    dtb = run_bucketed()
+    # min-of-2: the bucketed path dispatches one program per bucket, so
+    # tunnel-degraded windows hit it 5x harder than the single block
+    dtb = min(run_bucketed() for _ in range(2))
     emit("family_batch_32x20it_bucketed", f * 20 / dtb, "family-iters/s", None)
     emit(
         "family_batch_padded_flop_waste",
