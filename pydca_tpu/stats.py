@@ -47,8 +47,12 @@ _DEFAULT_BLOCK = 2048
 # Pallas kernels are used automatically on TPU backends for large inputs;
 # set to False to force the plain-XLA paths (used by parity tests).
 USE_PALLAS = True
-# Crossover measured on v5e: XLA wins below ~10k sequences (the Pallas
-# launch has ~10 ms fixed cost), Pallas wins 1.6-3.3x above it.
+# Crossover re-measured on v5e with the r4 in-kernel one-hot formulations
+# (both paths): they tie below ~8k sequences (0.2-0.5 ms, launch-cost
+# noise) and Pallas pulls ahead above it (1.17 vs 1.26 ms at N=12.6k,
+# and its fused threshold epilogue keeps the (N, N) counts in VMEM while
+# the XLA scan round-trips (block, N) int32 tiles — decisive at N=10^5+,
+# where the kernel sustains ~108 G pairs/s).
 PALLAS_MIN_N = 8192
 
 
