@@ -144,7 +144,6 @@ def cholesky_blocked(c: jax.Array, block: int = 2048) -> jax.Array:
         return jnp.linalg.cholesky(c)
     rows = jnp.arange(n)[:, None]
     cols = []
-    done = 0
     for k in range(0, n, block):
         b = min(block, n - k)
         s = c[:, k : k + b]  # (n, b) — row sharding preserved
@@ -158,7 +157,6 @@ def cholesky_blocked(c: jax.Array, block: int = 2048) -> jax.Array:
         # panel itself there; rows below give L21; rows above are masked.
         col = jnp.where(rows >= k, s @ linv_t, jnp.zeros((), c.dtype))
         cols.append(_constrain_rows(col))
-        done += b
     return _constrain_rows(jnp.concatenate(cols, axis=1))
 
 

@@ -295,6 +295,20 @@ def plm_loss_and_grad(
 # the logits cotangent with its (q, l) axes swapped.
 
 
+def _combine_w2_projection(g_raw, mirror, l: int, q: int):
+    """0.5 (G + mirror(G)) with diagonal site blocks zeroed.
+
+    The shared tail of the subspace projection P(G): both w2 gradient
+    paths route through it — the full-batch custom VJP (which computes
+    ``mirror`` as a second matmul) and the streaming path (which computes
+    it as a permutation once per evaluation).  The two paths are pinned
+    against each other by ``test_w2_chunked_matches_w2_full``.
+    """
+    g4 = (0.5 * (g_raw + mirror)).reshape(l, q, q, l)
+    offdiag = 1.0 - jnp.eye(l, dtype=g_raw.dtype)
+    return (g4 * offdiag[:, None, None, :]).reshape(l * q, q * l)
+
+
 _LOGITS_MM_SYM_CACHE: Dict[Tuple[int, int], object] = {}
 
 
@@ -303,9 +317,6 @@ def _make_logits_mm_sym(l: int, q: int):
     key = (l, q)
     if key in _LOGITS_MM_SYM_CACHE:
         return _LOGITS_MM_SYM_CACHE[key]
-
-    offdiag = np.ones((l, l), np.float32)
-    np.fill_diagonal(offdiag, 0.0)
 
     @jax.custom_vjp
     def mm(x, xa, w2):
@@ -327,9 +338,7 @@ def _make_logits_mm_sym(l: int, q: int):
         mirror = jax.lax.dot_general(
             ct_b, xa, dimension_numbers=(((0,), (0,)), ((), ()))
         )  # rows (j,b), cols (a,i)
-        g4 = (0.5 * (g_raw + mirror)).reshape(l, q, q, l)
-        mask = jnp.asarray(offdiag)[:, None, None, :]
-        gsym = (g4 * mask).reshape(l * q, q * l)
+        gsym = _combine_w2_projection(g_raw, mirror, l, q)
         return jnp.zeros_like(x), jnp.zeros_like(xa), gsym
 
     mm.defvjp(fwd, bwd)
@@ -565,10 +574,8 @@ def plm_loss_and_grad_w2_chunked(
     (nll, gh, gw2), _ = jax.lax.scan(body, init, (msa_blocks, w_blocks))
 
     # project the accumulated cotangent onto the symmetric zero-diag space
-    g4 = gw2.reshape(l, q, q, l)
-    mirror = g4.transpose(3, 2, 1, 0).reshape(l * q, q * l)
-    offdiag = 1.0 - jnp.eye(l, dtype=dtype)
-    gsym = (0.5 * (gw2 + mirror)).reshape(l, q, q, l) * offdiag[:, None, None, :]
+    mirror = gw2.reshape(l, q, q, l).transpose(3, 2, 1, 0).reshape(l * q, q * l)
+    gsym = _combine_w2_projection(gw2, mirror, l, q)
 
     loss = (
         nll + lambda_h * jnp.sum(h * h) + 0.5 * lambda_j * jnp.sum(w2 * w2)
@@ -771,6 +778,10 @@ def _resolve_param_space(param_space: str, l: int, q: int, m: int, mm_bf16):
     if mm_bf16:
         # the w2 path keeps f32 operands (its matmuls are the whole eval);
         # honor an explicit bf16 request via the compact path
+        logger.warning(
+            "param_space='w2' does not support bfloat16 operands; "
+            "running the compact parameterization instead"
+        )
         return False
     vec_bytes = 4 * (l * q + (l * q) * (q * l))
     if vec_bytes * (2 * m + 4) > W2SPACE_MAX_BYTES:

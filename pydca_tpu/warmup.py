@@ -28,6 +28,31 @@ logger = logging.getLogger(__name__)
 __all__ = ["warmup_meanfield", "warmup_plm"]
 
 
+def _warn_if_multichip() -> None:
+    """Warmup currently compiles the single-device programs.
+
+    With >1 visible device the CLIs default to ``--mesh auto`` and take
+    the GSPMD-sharded code paths, whose executables have different cache
+    keys — the single-device warm would not be hit.  Make that loud
+    instead of silent: warn and point at ``--mesh single``.
+    """
+    import jax
+
+    try:
+        n = jax.device_count()
+    except Exception:  # pragma: no cover
+        return
+    if n > 1:
+        logger.warning(
+            "%d devices visible: warmup compiles the SINGLE-device "
+            "programs, but the CLIs default to --mesh auto (sharded "
+            "programs, different cache entries). Run the subsequent "
+            "command with --mesh single to use this warm cache, or skip "
+            "warmup for multi-chip runs.",
+            n,
+        )
+
+
 def _weights_warmup(n: int, l: int, q: int, seqid: float):
     """Compile the standalone sequence-weights program (plm engine stage 1).
 
@@ -66,6 +91,7 @@ def warmup_meanfield(
 
     from .meanfield import _mf_fused_pipeline
 
+    _warn_if_multichip()
     t0 = time.perf_counter()
     msa_spec = jax.ShapeDtypeStruct((n, l), jnp.int32)
     _mf_fused_pipeline.lower(
@@ -109,6 +135,7 @@ def warmup_plm(
     if mm_bf16 is None:
         mm_bf16 = default_mm_bf16()
     w2space = _resolve_param_space(param_space, l, q, m, mm_bf16)
+    _warn_if_multichip()
     t0 = time.perf_counter()
     _weights_warmup(n, l, q, seqid)
 

@@ -259,3 +259,57 @@ def test_cli_warmup_subcommands(tmp_path, monkeypatch):
     with redirect_stdout(buf):
         run_plm_dca(["warmup", "rna", msa, "--max_iterations", "10"])
     assert "warmed plmDCA cache" in buf.getvalue()
+
+
+def test_warmup_traces_exactly_what_fit_traces(tmp_path):
+    """Anti-drift guard (review r4): warmup AOT-compiles by MIRRORING the
+    engine's dispatch decisions (weights block size, chunk todo set,
+    param-space/streaming thresholds).  Enable a persistent compile cache,
+    warm, then run the real fit: the heavy programs must all be cache
+    hits, i.e. produce NO new cache entries.  If any mirrored decision
+    drifts from the engine, the fit traces a different program and this
+    fails."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from pydca_tpu import stats
+    from pydca_tpu.plm import fit_plm
+    from pydca_tpu.warmup import warmup_meanfield, warmup_plm
+    from pydca_tpu.meanfield import _mf_fused_pipeline
+
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.02)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        rng = np.random.default_rng(17)
+        n, l, q = 120, 14, 5
+        msa = jnp.asarray(rng.integers(0, q, (n, l)), jnp.int32)
+
+        warmup_plm(n, l, q, max_iterations=9, chunk_size=4)
+        warmup_meanfield(n, l, q)
+        warmed = set(os.listdir(cache))
+        assert warmed, "warmup produced no cache entries"
+
+        w = stats.sequence_weights(msa, 0.8, q, dtype=jnp.float32)
+        lam = jnp.float32(0.2 * (l - 1))
+        fit_plm(msa, w, lam, lam, l, q, max_iterations=9, chunk_size=4)
+        _mf_fused_pipeline(msa, l, q, 0.8, 0.5, jnp.float32)
+
+        new = sorted(set(os.listdir(cache)) - warmed)
+        # the engine may compile tiny eager helpers; the big engine
+        # programs (weights scan, L-BFGS init/steps, fused mf pipeline)
+        # must NOT appear as new entries
+        heavy = [
+            f for f in new
+            if any(k in f for k in (
+                "_sequence_weights_impl", "_plm_lbfgs", "_mf_fused_pipeline",
+            ))
+        ]
+        assert not heavy, f"engine recompiled warmed programs: {heavy}"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
