@@ -284,12 +284,21 @@ def bench_deep():
 
     lam = jnp.float32(0.2 * (l - 1))
 
+    from pydca_tpu.parallel import make_mesh
+
+    mesh = make_mesh()  # streaming-on-the-mesh path (1 chip here; the
+    #                     blocks place P(None, 'data', None) and the same
+    #                     program scales to N chips — 8-device CPU CI)
+
     def run(iters=50):
         # 50 iterations amortize the fixed ~3 host<->device round trips of
         # a chunked fit (ms each attached, up to ~1 s on degraded tunnel
         # windows) so the line measures sustained streaming throughput
         t0 = time.time()
-        r = fit_plm(m, w, lam, lam, l, q, max_iterations=iters, seq_block=16384)
+        r = fit_plm(
+            m, w, lam, lam, l, q, max_iterations=iters, seq_block=16384,
+            mesh=mesh,
+        )
         sync(r.x)
         return int(r.num_iters), time.time() - t0
 

@@ -2,10 +2,13 @@
 
 Replaces the reference's vendored float32 libLBFGS
 (``pydca/plmdca/lbfgs/lib/lbfgs.cpp``, driven from ``plmdcaBackend.cpp:68-75``)
-with a pure-JAX implementation: the two-loop recursion runs on fixed-size
-``(m, D)`` history buffers, the whole optimization is one ``lax.while_loop``
-under ``jit``, and every objective evaluation is the caller's traced function
-(for plmDCA: one large MXU matmul plus AD).
+with a pure-JAX implementation: the search direction is computed in the
+compact representation (Byrd-Nocedal-Schnabel; three ``(m, D)`` matmuls over
+fixed-size history buffers — algebraically identical to the two-loop
+recursion but ~60 tiny sequential kernels fewer per iteration, measured 2x
+faster optimizer machinery at D=8.35M on v5e), the whole optimization is one
+``lax.while_loop`` under ``jit``, and every objective evaluation is the
+caller's traced function (for plmDCA: one large MXU matmul plus AD).
 
 Semantics mirrored from libLBFGS / the reference driver:
 - convergence when ``||g|| / max(1, ||x||) <= epsilon``  (lbfgs.cpp progress check),
