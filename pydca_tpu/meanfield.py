@@ -221,12 +221,25 @@ class MeanFieldDCA:
     def get_sequences_weight(self) -> jax.Array:
         if self.__weights is None:
             with self.timers.stage("weights"):
-                self.__weights = stats.sequence_weights(
-                    jnp.asarray(self.msa.data, jnp.int32),
-                    self.__seqid,
-                    self.msa.q,
-                    dtype=self.dtype,
-                )
+                if self.__mesh is not None and self.dtype == jnp.float32:
+                    # the CLI metadata header asks for Meff BEFORE the
+                    # pipeline runs; with a mesh, compute the O(N^2 L)
+                    # identity counts data-parallel rather than on one chip
+                    from .parallel.fit import sequence_weights_sharded
+
+                    self.__weights = sequence_weights_sharded(
+                        self.__mesh,
+                        jnp.asarray(self.msa.data, jnp.int32),
+                        self.__seqid,
+                        self.msa.q,
+                    )
+                else:
+                    self.__weights = stats.sequence_weights(
+                        jnp.asarray(self.msa.data, jnp.int32),
+                        self.__seqid,
+                        self.msa.q,
+                        dtype=self.dtype,
+                    )
                 sync(self.__weights)
             self.timers.add_rate("weights", self.msa.num_seqs, "seqs")
         return self.__weights
