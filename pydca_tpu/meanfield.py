@@ -341,6 +341,7 @@ class MeanFieldDCA:
                     pseudocount=self.__pseudocount,
                     seqid=self.__seqid,
                     mesh=self.__mesh,
+                    weights=self.__weights,  # reuse if already computed
                     return_all=True,
                 )
                 w, couplings = out["weights"], out["couplings"]
