@@ -15,8 +15,9 @@ Replaces the reference's C++/OpenMP backend (``pydca/plmdca/plmdca_numerics.cpp`
   falls out of AD through the triu gather that expands the flat couplings to
   the full (L, L, q, q) tensor.
 - The optimizer is the jittable L-BFGS in :mod:`pydca_tpu.ops.lbfgs` with the
-  reference's budget (m=5, eps=1e-3, ftol=1e-4, <=5 line-search evals,
-  <=100 iterations; ``plmdcaBackend.cpp:68-75``).
+  reference's budget (m=5, eps=1e-3, ftol=1e-4, <=100 iterations;
+  ``plmdcaBackend.cpp:68-75``; line-search cap 10 vs the reference's 5 —
+  a documented deviation, see ``ops/lbfgs.py``).
 
 Note: the reference gradient carries its softmax accumulator across sequences
 without resetting (``plmdca_numerics.cpp:492-499``), slightly perturbing its
