@@ -51,6 +51,8 @@ __all__ = [
     "lbfgs_steps",
     "lbfgs_minimize",
     "result_from_state",
+    "direction_coeffs",
+    "wolfe_scalar",
 ]
 
 
@@ -174,6 +176,197 @@ def _two_loop(g, s_hist, y_hist, rho, k, m):
     bot = -rinv_p
     hg = gamma * g + s_hist.T @ top + gamma * (y_hist.T @ bot)
     return -hg
+
+
+def direction_coeffs(zg, zzt, gg, k, m: int):
+    """Compact-representation direction as scalar coefficients (no D-vectors).
+
+    For the stacked history ``Z = [S; Y]`` ((2m, D) rows, circular slots),
+    given the cached projections ``zg = Z @ g`` ((2m,)), the cached Gram
+    ``zzt = Z @ Z.T`` ((2m, 2m)) and ``gg = ||g||^2``, returns
+    ``(gamma_eff, cfull, dg0_est, dnorm2_est)`` such that
+
+        d = -(gamma_eff * g + Z.T @ cfull)
+
+    is exactly the Byrd-Nocedal-Schnabel direction :func:`_two_loop`
+    computes (same H0 scaling, same chronological triangular structure) —
+    but derived from m x m scalar algebra alone.  This is the traffic-lean
+    form for the fused optimizer (:mod:`pydca_tpu.plm`): the history is
+    read ONCE per iteration (the ``Z.T @ cfull`` matmul) instead of the
+    4-5 passes of the vector-space formulation.
+
+    The steepest-descent fallback for non-descent directions is folded in:
+    when the predicted directional derivative is non-negative the
+    coefficients collapse to ``gamma_eff = 1, cfull = 0`` (d = -g).
+    ``dg0_est``/``dnorm2_est`` are scalar-algebra estimates; callers that
+    need them to match the materialized ``d`` bit-for-bit should recompute
+    with direct vdots (cancellation in float32 can bite near convergence).
+    """
+    dtype = zg.dtype
+    p = zg[:m]
+    q = zg[m:]
+    sy_mat = zzt[:m, m:]
+    yy_mat = zzt[m:, m:]
+    slots = jnp.arange(m)
+    d_diag = jnp.diagonal(sy_mat)
+    valid = d_diag != 0
+    pos = jnp.mod(slots - k, m)  # ascending = oldest -> newest
+    tri = (pos[:, None] <= pos[None, :]) & valid[:, None] & valid[None, :]
+    vv = valid[:, None] & valid[None, :]
+    yy = jnp.where(vv, yy_mat, jnp.zeros((), dtype))
+    r_mat = jnp.where(tri, sy_mat, jnp.zeros((), dtype)) + jnp.diag(
+        jnp.where(valid, jnp.zeros((), dtype), jnp.ones((), dtype))
+    )
+    d_vec = jnp.where(valid, d_diag, jnp.zeros((), dtype))
+
+    newest = jnp.mod(k - 1, m)
+    sy_n = sy_mat[newest, newest]
+    yy_n = yy[newest, newest]
+    gamma = jnp.where((k > 0) & (yy_n > 0), sy_n / jnp.maximum(yy_n, 1e-30), 1.0)
+
+    rinv_p = jnp.linalg.solve(r_mat, p)
+    inner = d_vec * rinv_p + gamma * (yy @ rinv_p) - gamma * q
+    top = jnp.linalg.solve(r_mat.T, inner)
+    bot = -rinv_p
+    cfull = jnp.concatenate([top, gamma * bot]).astype(dtype)
+
+    zg_c = jnp.vdot(zg, cfull)
+    dg0 = -(gamma * gg + zg_c)
+    dnorm2 = gamma * gamma * gg + 2.0 * gamma * zg_c + jnp.vdot(
+        cfull, zzt @ cfull
+    )
+    bad = dg0 >= 0
+    gamma_eff = jnp.where(bad, jnp.ones((), dtype), gamma).astype(dtype)
+    cfull = jnp.where(bad, jnp.zeros((), dtype), cfull)
+    dg0 = jnp.where(bad, -gg, dg0)
+    dnorm2 = jnp.where(bad, gg, jnp.maximum(dnorm2, 1e-30))
+    return gamma_eff, cfull, dg0, dnorm2
+
+
+def wolfe_scalar(phi, f0, dg0, step0, ftol, wolfe, max_linesearch: int):
+    """Strong-Wolfe bracket+zoom line search over a SCALAR phi-callback.
+
+    Same transition rules and exit semantics as :func:`_wolfe_linesearch`,
+    but the carry holds only scalars — no trial parameter vectors, no
+    gradient vectors.  ``phi(alpha) -> (value, derivative)`` is expected to
+    be cheap (for the fused plm path: one elementwise pass over the carried
+    logits, exploiting their linearity along the direction).
+
+    Returns ``(alpha, f_new, took_step, rounding, trials)`` where ``alpha``
+    is the accepted (or best-decrease fallback) step, 0 when no step was
+    resolvable; ``rounding`` mirrors libLBFGS's ROUNDING_ERROR-as-completed
+    exit (plmdcaBackend.cpp:82-90).
+    """
+    dtype = f0.dtype
+    eps_f = jnp.array(10.0 * jnp.finfo(jnp.float32).eps, dtype)
+    zero = jnp.array(0.0, dtype)
+
+    def suff(alpha, fa):
+        return fa <= f0 + ftol * alpha * dg0
+
+    def curv(dga):
+        return jnp.abs(dga) <= wolfe * jnp.abs(dg0)
+
+    def cond(c):
+        (stage, alpha, lo, f_lo, dg_lo, hi, f_hi, dg_hi, best_a, best_f,
+         accepted, trials, min_fgap) = c
+        width_ok = jnp.where(
+            stage == 1,
+            jnp.abs(hi - lo) > 1e-10 * jnp.maximum(jnp.abs(hi), 1.0),
+            True,
+        )
+        return (~accepted) & (trials < max_linesearch) & width_ok & (alpha > 0)
+
+    def body(c):
+        (stage, alpha, lo, f_lo, dg_lo, hi, f_hi, dg_hi, best_a, best_f,
+         accepted, trials, min_fgap) = c
+        fnew, dgnew = phi(alpha)
+        fnew = fnew.astype(dtype)
+        dgnew = dgnew.astype(dtype)
+        trials = trials + 1
+        min_fgap = jnp.minimum(min_fgap, fnew - f0)
+
+        ok_suff = suff(alpha, fnew)
+        ok_curv = curv(dgnew)
+        accept_now = ok_suff & ok_curv
+
+        better = (fnew < best_f) | accept_now
+        best_a = jnp.where(better, alpha, best_a)
+        new_best_f = jnp.where(better, fnew, best_f)
+
+        is_bracket = stage == 0
+        br_to_zoom_hi = (~ok_suff) | ((fnew >= f_lo) & (trials > 1))
+        br_to_zoom_rev = ok_suff & (~ok_curv) & (dgnew >= 0)
+        br_expand = ok_suff & (~ok_curv) & (dgnew < 0)
+
+        zm_shrink_hi = (~ok_suff) | (fnew >= f_lo)
+        zm_flip = ok_suff & (fnew < f_lo) & (dgnew * (hi - lo) >= 0)
+
+        n_stage = jnp.where(is_bracket & (br_to_zoom_hi | br_to_zoom_rev),
+                            1, stage)
+        n_lo = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_rev | br_expand, alpha, lo),
+            jnp.where(zm_shrink_hi, lo, alpha),
+        )
+        n_f_lo = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_rev | br_expand, fnew, f_lo),
+            jnp.where(zm_shrink_hi, f_lo, fnew),
+        )
+        n_dg_lo = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_rev | br_expand, dgnew, dg_lo),
+            jnp.where(zm_shrink_hi, dg_lo, dgnew),
+        )
+        n_hi = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_hi, alpha, jnp.where(br_to_zoom_rev, lo, hi)),
+            jnp.where(zm_shrink_hi, alpha, jnp.where(zm_flip, lo, hi)),
+        )
+        n_f_hi = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_hi, fnew, jnp.where(br_to_zoom_rev, f_lo, f_hi)),
+            jnp.where(zm_shrink_hi, fnew, jnp.where(zm_flip, f_lo, f_hi)),
+        )
+        n_dg_hi = jnp.where(
+            is_bracket,
+            jnp.where(br_to_zoom_hi, dgnew, jnp.where(br_to_zoom_rev, dg_lo, dg_hi)),
+            jnp.where(zm_shrink_hi, dgnew, jnp.where(zm_flip, dg_lo, dg_hi)),
+        )
+
+        lo_b = jnp.minimum(n_lo, n_hi)
+        hi_b = jnp.maximum(n_lo, n_hi)
+        interp = _cubic_step(n_lo, n_f_lo, n_dg_lo, n_hi, n_f_hi, n_dg_hi,
+                             lo_b, hi_b)
+        n_alpha = jnp.where(
+            is_bracket & br_expand,
+            jnp.minimum(alpha * 2.1, jnp.array(1e20, dtype)),
+            interp,
+        )
+        return (n_stage, n_alpha, n_lo, n_f_lo, n_dg_lo, n_hi, n_f_hi,
+                n_dg_hi, best_a, new_best_f, accepted | accept_now, trials,
+                min_fgap)
+
+    init = (
+        jnp.array(0, jnp.int32),
+        step0.astype(dtype),
+        zero, f0, dg0.astype(dtype),
+        zero, f0, dg0.astype(dtype),
+        zero, f0,
+        jnp.array(False),
+        jnp.array(0, jnp.int32),
+        jnp.array(jnp.inf, dtype),
+    )
+    (stage, alpha, lo, f_lo, dg_lo, hi, f_hi, dg_hi, best_a, best_f,
+     accepted, trials, min_fgap) = jax.lax.while_loop(cond, body, init)
+
+    decreased = best_f < f0
+    took_step = accepted | decreased
+    rounding = (~took_step) & (min_fgap <= eps_f * jnp.abs(f0))
+    alpha_out = jnp.where(took_step, best_a, zero)
+    f_out = jnp.where(took_step, best_f, f0)
+    return alpha_out, f_out, took_step, rounding, trials
 
 
 def _cubic_step(a, fa, da, b, fb, db, lo, hi):

@@ -34,7 +34,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,14 @@ import numpy as np
 from . import score as score_mod
 from . import stats
 from .io.fasta import MSA, read_msa
-from .ops.lbfgs import lbfgs_init, lbfgs_steps, result_from_state
+from .ops.lbfgs import (
+    LBFGSResult,
+    direction_coeffs,
+    lbfgs_init,
+    lbfgs_steps,
+    result_from_state,
+    wolfe_scalar,
+)
 from .profiling import StageTimers, sync
 
 logger = logging.getLogger(__name__)
@@ -87,6 +94,21 @@ def resolve_precision(precision) -> bool:
     raise PlmDCAException(
         f"invalid precision {precision!r}; choose auto, bfloat16 or float32"
     )
+
+
+def default_hist_bf16() -> bool:
+    """Default dtype of the fused loop's L-BFGS history rows.
+
+    On TPU the history reads (the direction combination and the Z @ g'
+    refresh, 2 x 2m x D per iteration) are pure HBM traffic; storing the
+    rows in bfloat16 halves it — measured 0.727 -> 0.647 s on the PF02826
+    100-iteration fit with identical FN-APC rankings (spearman 1.0,
+    top-20 overlap 1.0; scripts/r5_fused_perf.py).  The rows only feed
+    the quasi-Newton direction (a preconditioner), so the 0.4% rounding
+    perturbs the trajectory, not correctness — the line search guards
+    every step.  CPU keeps float32 (bf16 is emulated there).
+    """
+    return jax.default_backend() == "tpu"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -590,6 +612,403 @@ def plm_loss_and_grad_w2_chunked(
     return loss, grad
 
 
+# ------------------------------------------------------ fused direction loop
+#
+# The production full-batch optimizer (r5).  The classic structure —
+# opaque fun(x) -> (f, g) evaluated at every line-search trial — pays the
+# coupling expansion and its pullback per EVALUATION and moves several
+# D-sized vectors per trial; at PF02826 scale (D = 8.35M) the L-BFGS
+# machinery alone measured 7.5 ms/iter, ~68% of the fit wall
+# (scripts/r4_lbfgs_overhead.py).  This loop restructures the iteration
+# around two linearities:
+#
+# 1. logits are LINEAR along a search direction: with u = x1h @ E(d_J) +
+#    d_h, logits(theta + alpha*d) = logits(theta) + alpha*u.  The carried
+#    logits tensor makes every line-search trial a single fused
+#    elementwise pass (no matmul, no expansion, no D-vectors), and the
+#    regularizer along the line is an exact quadratic in alpha — so the
+#    strong-Wolfe search runs entirely on scalars (ops/lbfgs.wolfe_scalar).
+# 2. the L-BFGS direction needs only Z @ g and Z @ Z.T for the stacked
+#    history Z = [S; Y] (compact representation) — both are CACHED in the
+#    state and updated by scalar recurrences (s = alpha*d, y = g' - g, and
+#    Z @ d = -(gamma*Zg + ZZt @ c) are all linear-algebra identities on
+#    already-known quantities), so the history is read exactly twice per
+#    iteration: the direction matmul Z.T @ c and the refresh Z @ g'.
+#
+# Per-iteration cost = 2 skinny history matmuls + 1 coupling expansion
+# (of d) + 2 MXU logits matmuls (u and the backward) + 1 pullback + a few
+# D-axpys.  Replaces: pydca/plmdca/plmdcaBackend.cpp:47-94 (driver) +
+# lbfgs.cpp (MoreThuente) + plmdca_numerics.cpp:436-607 (gradient), with
+# identical convergence semantics to the generic loop above.
+
+
+class PlmFusedState(NamedTuple):
+    """State of the fused plm L-BFGS loop (a serializable pytree).
+
+    Carries the caches that make the iteration traffic-lean: the carried
+    logits/picked tensors (linearity #1) and the history projections
+    zg = Z @ g, zzt = Z @ Z.T plus the scalar squares (linearity #2).
+    """
+
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    # history rows as 2m SEPARATE (D,) leaves: rows 0..m-1 = S, m..2m-1 = Y.
+    # A stacked (2m, D) buffer forces a full-buffer copy per slot write
+    # inside lax.while_loop (dynamic_update_slice with a traced index does
+    # not alias on TPU: measured 3.0 ms/iter at D=8.35M); writing two
+    # leaves through a lax.switch whose other branches pass rows through
+    # untouched aliases in place (1.1 ms/iter incl. the full Z read).
+    z: Tuple[jax.Array, ...]
+    zzt: jax.Array  # (2m, 2m) Gram cache
+    zg: jax.Array  # (2m,) Z @ g cache
+    gg: jax.Array  # ||g||^2
+    xx: jax.Array  # ||x||^2 (scalar recurrence)
+    rh: jax.Array  # ||h||^2
+    rj: jax.Array  # ||theta_J||^2
+    logits: jax.Array  # (N, q, L) carried logits at x
+    picked: jax.Array  # (N, L) carried picked-state logits
+    k: jax.Array
+    done: jax.Array
+    converged: jax.Array
+    ls_failed: jax.Array
+    n_evals: jax.Array
+
+
+def _mm_f(a, b, mm_bf16: bool):
+    """Forward-style matmul ``a @ b`` honoring the bf16-operand knob."""
+    mm_dtype = jnp.bfloat16 if mm_bf16 else a.dtype
+    acc = jnp.float32 if mm_bf16 else a.dtype
+    return jax.lax.dot_general(
+        a.astype(mm_dtype),
+        b.astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc,
+    )
+
+
+def _mm_b(a, b, mm_bf16: bool):
+    """Backward-style matmul ``a.T @ b`` (contract leading N axis)."""
+    mm_dtype = jnp.bfloat16 if mm_bf16 else a.dtype
+    acc = jnp.float32 if mm_bf16 else a.dtype
+    return jax.lax.dot_general(
+        a.astype(mm_dtype),
+        b.astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc,
+    )
+
+
+def _w2_cot_to_compact(gw2: jax.Array, l: int, q: int) -> jax.Array:
+    """Pull a raw w2-space cotangent back to the flat pair layout.
+
+    ``gw2`` has rows (j, b), cols (a, i); the compact gradient of pair
+    (i < j) receives its own (i, j) block plus the transposed (j, i)
+    block.  Implementation note: both gathers run on a 2-D whole-row view
+    of the materialized transpose — gathering (q, q) blocks through a
+    fused transpose is the slow path on TPU (measured 6.5 vs 1.0 ms at
+    PF02826 shape, scripts/r5_perm_probe.py).
+    """
+    gj4 = gw2.reshape(l, q, q, l).transpose(3, 0, 2, 1)  # (i, j, a, b)
+    cr = gj4.reshape(l * l, q * q)
+    iu, ju = _triu_pairs(l)
+    d_ij = cr[jnp.asarray(iu * l + ju)].reshape(-1, q, q)
+    d_ji = cr[jnp.asarray(ju * l + iu)].reshape(-1, q, q)
+    return (d_ij + jnp.swapaxes(d_ji, -1, -2)).reshape(-1)
+
+
+def _expand_to_w2(j_flat: jax.Array, l: int, q: int) -> jax.Array:
+    """Flat pair couplings -> the (Lq, qL) matmul operand (w2 layout)."""
+    return _expand_full(j_flat, l, q).transpose(1, 3, 2, 0).reshape(
+        l * q, q * l
+    )
+
+
+def _prep_u(x1h, maskq, d, l: int, q: int, mm_bf16: bool):
+    """Direction image in logits space: u = x1h @ E(d_J) + d_h (once per
+    direction), plus its picked-state reduction."""
+    lq = l * q
+    dh = d[:lq].reshape(l, q)
+    w2d = _expand_to_w2(d[lq:], l, q)
+    u = _mm_f(x1h, w2d, mm_bf16).reshape(-1, q, l) + dh.T[None]
+    upicked = jnp.sum(jnp.where(maskq, u, 0), axis=1)
+    return u, upicked
+
+
+def _phi_dphi(logits, picked, u, upicked, weights, alpha):
+    """phi(alpha) data term and its derivative: one fused elementwise pass.
+
+    Exploits logits(alpha) = logits + alpha*u: no matmul, no expansion —
+    softmax statistics and the ct.u contraction fall out of the same pass.
+    """
+    t = logits + alpha * u
+    mx = jnp.max(t, axis=1)
+    e = jnp.exp(t - mx[:, None, :])
+    se = jnp.sum(e, axis=1)  # (N, L)
+    lse = mx + jnp.log(se)
+    pk = picked + alpha * upicked
+    nll = jnp.sum(weights[:, None] * (lse - pk))
+    su = jnp.sum(e * u, axis=1) / se  # E_softmax[u]  (N, L)
+    dnll = jnp.sum(weights[:, None] * (su - upicked))
+    return nll, dnll
+
+
+def _ct_gh(logits, maskq, weights):
+    """Logits cotangent w*(softmax - onehot) and its sequence-sum (the h
+    gradient), recomputed once per accepted iterate."""
+    mx = jnp.max(logits, axis=1)
+    e = jnp.exp(logits - mx[:, None, :])
+    sm = e / jnp.sum(e, axis=1)[:, None, :]
+    ct = weights[:, None, None] * (sm - maskq.astype(sm.dtype))
+    gh = jnp.sum(ct, axis=0)  # (q, L)
+    return ct, gh
+
+
+def _fused_state_from_theta(
+    theta, z, k, converged, ls_failed, n_evals,
+    x1h, maskq, weights, lambda_h, lambda_j, l: int, q: int,
+    mm_bf16: bool, epsilon: float = 1e-3,
+):
+    """Build a full PlmFusedState at ``theta``: one forward + one gradient.
+
+    Used for the fresh start (J = 0) and for resuming from a generic
+    (non-fused) checkpoint; the caches (zzt, zg, logits) are recomputed,
+    so cross-format resume is exact to float recompute, not bitwise —
+    fused checkpoints carry the caches and resume bitwise.
+    """
+    lq = l * q
+    dtype = theta.dtype
+    h = theta[:lq].reshape(l, q)
+    w2 = _expand_to_w2(theta[lq:], l, q)
+    logits = _mm_f(x1h, w2, mm_bf16).reshape(-1, q, l) + h.T[None]
+    picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
+    mx = jnp.max(logits, axis=1)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None, :]), axis=1))
+    rh = jnp.vdot(h, h)
+    rj = jnp.vdot(theta[lq:], theta[lq:])
+    nll = jnp.sum(weights[:, None] * (lse - picked))
+    f = (nll + lambda_h * rh + lambda_j * rj).astype(dtype)
+    ct, gh = _ct_gh(logits, maskq, weights)
+    gw2 = _mm_b(x1h, ct.reshape(ct.shape[0], q * l), mm_bf16)
+    gj = _w2_cot_to_compact(gw2, l, q)
+    g = jnp.concatenate(
+        [
+            (gh.T + 2.0 * lambda_h * h).reshape(-1),
+            gj + 2.0 * lambda_j * theta[lq:],
+        ]
+    ).astype(dtype)
+    gg = jnp.vdot(g, g)
+    xx = jnp.vdot(theta, theta)
+    conv0 = jnp.sqrt(gg) / jnp.maximum(jnp.sqrt(xx), 1.0) <= epsilon
+    zmat = jnp.stack(z) if isinstance(z, (tuple, list)) else z
+    rows = tuple(zmat[i] for i in range(zmat.shape[0]))
+    zmat32 = zmat.astype(dtype)
+    return PlmFusedState(
+        x=theta, f=f, g=g, z=rows,
+        zzt=(zmat32 @ zmat32.T).astype(dtype),
+        zg=(zmat32 @ g).astype(dtype),
+        gg=gg, xx=xx, rh=rh, rj=rj,
+        logits=logits, picked=picked,
+        k=jnp.asarray(k, jnp.int32),
+        done=jnp.asarray(converged, bool) | conv0,
+        converged=jnp.asarray(converged, bool) | conv0,
+        ls_failed=jnp.asarray(ls_failed, bool),
+        n_evals=jnp.asarray(n_evals, jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("l", "q", "m", "mm_bf16", "hist_bf16")
+)
+def _plm_fused_state0(
+    msa, weights, lambda_h, lambda_j, l: int, q: int, m: int,
+    mm_bf16: bool = False, hist_bf16: bool = False,
+):
+    x1h, maskq = _prep_msa(msa, l, q, jnp.float32)
+    theta0 = init_params(msa, weights, l, q)
+    d = theta0.shape[0]
+    z = jnp.zeros((2 * m, d), jnp.bfloat16 if hist_bf16 else jnp.float32)
+    return _fused_state_from_theta(
+        theta0, z, 0, False, False, 1,
+        x1h, maskq, weights, lambda_h, lambda_j, l, q, mm_bf16,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l", "q", "num_steps", "mm_bf16"),
+    donate_argnums=(0,),
+)
+def _plm_fused_steps(
+    state: PlmFusedState, x1h, maskq, weights, lambda_h, lambda_j,
+    l: int, q: int, num_steps: int, mm_bf16: bool = False,
+    epsilon: float = 1e-3, ftol: float = 1e-4, wolfe: float = 0.9,
+    max_linesearch: int = 10,
+):
+    """Advance the fused optimizer by up to ``num_steps`` iterations."""
+    m = len(state.z) // 2
+    lq = l * q
+    dtype = state.x.dtype
+    k_start = state.k
+
+    def cond(st: PlmFusedState):
+        return jnp.logical_and(~st.done, st.k < k_start + num_steps)
+
+    def body(st: PlmFusedState):
+        gamma_eff, cfull, _dg0e, _dn2e = direction_coeffs(
+            st.zg, st.zzt, st.gg, st.k, m
+        )
+        zc = functools.reduce(
+            lambda a, b: a + b,
+            [cfull[r] * st.z[r].astype(dtype) for r in range(2 * m)],
+        )
+        d = -(gamma_eff * st.g + zc)
+        # direct fused reductions over (d, g, x): the estimates from
+        # direction_coeffs can lose low bits to cancellation; the line
+        # search and the scalar recurrences get exact values
+        dg0 = jnp.vdot(st.g, d)
+        dnorm2 = jnp.maximum(jnp.vdot(d, d), 1e-30)
+        dh = d[:lq]
+        dh2 = jnp.vdot(dh, dh)
+        hd = jnp.vdot(st.x[:lq], dh)
+        jd = jnp.vdot(st.x[lq:], d[lq:])
+        dj2 = jnp.maximum(dnorm2 - dh2, 0.0)
+        c1 = 2.0 * (lambda_h * hd + lambda_j * jd)
+        c2 = lambda_h * dh2 + lambda_j * dj2
+        reg0 = lambda_h * st.rh + lambda_j * st.rj
+
+        u, upicked = _prep_u(x1h, maskq, d, l, q, mm_bf16)
+
+        def phi(alpha):
+            nll, dnll = _phi_dphi(
+                st.logits, st.picked, u, upicked, weights, alpha
+            )
+            return (
+                nll + reg0 + c1 * alpha + c2 * alpha * alpha,
+                dnll + c1 + 2.0 * c2 * alpha,
+            )
+
+        step0 = jnp.where(
+            st.k == 0, 1.0 / jnp.sqrt(dnorm2), 1.0
+        ).astype(dtype)
+        alpha, f_new, took, rounding, trials = wolfe_scalar(
+            phi, st.f, dg0.astype(dtype), step0,
+            jnp.array(ftol, dtype), jnp.array(wolfe, dtype), max_linesearch,
+        )
+
+        # ---- accept: alpha = 0 when no step -> updates no-op bitwise
+        x_new = st.x + alpha * d
+        logits_new = st.logits + alpha * u
+        picked_new = st.picked + alpha * upicked
+        ct, gh = _ct_gh(logits_new, maskq, weights)
+        gw2 = _mm_b(x1h, ct.reshape(ct.shape[0], q * l), mm_bf16)
+        gj = _w2_cot_to_compact(gw2, l, q)
+        h_new = x_new[:lq].reshape(l, q)
+        g_new = jnp.concatenate(
+            [
+                (gh.T + 2.0 * lambda_h * h_new).reshape(-1),
+                gj + 2.0 * lambda_j * x_new[lq:],
+            ]
+        ).astype(dtype)
+
+        gg_new = jnp.vdot(g_new, g_new)
+        gog = jnp.vdot(st.g, g_new)
+        dgn = jnp.vdot(d, g_new)
+        xd = hd + jd
+        xx_new = jnp.maximum(
+            st.xx + 2.0 * alpha * xd + alpha * alpha * dnorm2, 0.0
+        )
+        rh_new = st.rh + 2.0 * alpha * hd + alpha * alpha * dh2
+        rj_new = st.rj + 2.0 * alpha * jd + alpha * alpha * dj2
+
+        # ---- history: two leaf writes behind a switch (aliasing-friendly,
+        # see the PlmFusedState.z note), Gram bordered by scalar algebra
+        s_row = alpha * d
+        y_row = g_new - st.g
+        sy = alpha * (dgn - dg0)
+        slot = jnp.mod(st.k, m)
+        do_update = took & (sy > 1e-10)
+
+        hist_dtype = st.z[0].dtype
+
+        def _write_slot(r):
+            def br(rows):
+                lst = list(rows)
+                lst[r] = s_row.astype(hist_dtype)
+                lst[r + m] = y_row.astype(hist_dtype)
+                return tuple(lst)
+            return br
+
+        z_new = jax.lax.cond(
+            do_update,
+            lambda rows: jax.lax.switch(
+                slot, [_write_slot(r) for r in range(m)], rows
+            ),
+            lambda rows: rows,
+            st.z,
+        )
+        zg_new = jnp.stack(
+            [jnp.sum(row.astype(dtype) * g_new) for row in z_new]
+        ).astype(dtype)
+
+        # new-row Gram entries against the OLD slots come from identities:
+        # Z@s = alpha * Z@d = -alpha*(gamma*Zg + ZZt@c);  Z@y = Z@g' - Z@g
+        zd = -(gamma_eff * st.zg + st.zzt @ cfull)
+        zs_vec = (alpha * zd).at[slot].set(alpha * alpha * dnorm2)
+        zs_vec = zs_vec.at[slot + m].set(sy)
+        zy_vec = (zg_new - st.zg).at[slot].set(sy)
+        zy_vec = zy_vec.at[slot + m].set(gg_new - 2.0 * gog + st.gg)
+        zzt_new = st.zzt.at[slot, :].set(zs_vec).at[:, slot].set(zs_vec)
+        zzt_new = (
+            zzt_new.at[slot + m, :].set(zy_vec).at[:, slot + m].set(zy_vec)
+        )
+        zzt_new = jnp.where(do_update, zzt_new, st.zzt)
+
+        conv = jnp.sqrt(gg_new) / jnp.maximum(jnp.sqrt(xx_new), 1.0) <= epsilon
+        return PlmFusedState(
+            x=x_new, f=f_new, g=g_new, z=z_new,
+            zzt=zzt_new, zg=zg_new, gg=gg_new, xx=xx_new,
+            rh=rh_new, rj=rj_new,
+            logits=logits_new, picked=picked_new,
+            k=jnp.where(took, st.k + 1, st.k),
+            done=jnp.where(took, conv, True),
+            converged=jnp.where(took, conv, st.converged | rounding),
+            ls_failed=jnp.where(took, st.ls_failed, ~rounding),
+            n_evals=st.n_evals + trials,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _result_from_fused(state: PlmFusedState) -> LBFGSResult:
+    return LBFGSResult(
+        x=state.x,
+        fx=state.f,
+        gnorm=jnp.sqrt(state.gg),
+        num_iters=state.k,
+        converged=state.converged,
+        linesearch_failed=state.ls_failed,
+        n_evals=state.n_evals,
+    )
+
+
+def _generic_from_fused(state: PlmFusedState):
+    """Fused -> generic LBFGSState (for resuming under streaming/w2 paths)."""
+    from .ops.lbfgs import LBFGSState
+
+    m = len(state.z) // 2
+    sy_diag = jnp.diagonal(state.zzt[:m, m:])
+    rho = jnp.where(sy_diag != 0, 1.0 / jnp.where(sy_diag == 0, 1.0, sy_diag), 0.0)
+    return LBFGSState(
+        x=state.x, f=state.f, g=state.g,
+        s_hist=jnp.stack(state.z[:m]).astype(state.x.dtype),
+        y_hist=jnp.stack(state.z[m:]).astype(state.x.dtype),
+        rho=rho.astype(state.x.dtype),
+        k=state.k, done=state.done, converged=state.converged,
+        ls_failed=state.ls_failed, n_evals=state.n_evals,
+    )
+
+
 def fit_plm(
     msa: jax.Array,
     weights: jax.Array,
@@ -608,6 +1027,7 @@ def fit_plm(
     mm_bf16: Optional[bool] = None,
     mesh=None,
     param_space: str = "auto",
+    hist_bf16: Optional[bool] = None,
 ):
     """Run the full plmDCA optimization; returns an LBFGSResult.
 
@@ -650,6 +1070,8 @@ def fit_plm(
     """
     if mm_bf16 is None:
         mm_bf16 = default_mm_bf16()
+    if hist_bf16 is None:
+        hist_bf16 = default_hist_bf16()
     w2space = _resolve_param_space(param_space, l, q, m, mm_bf16)
     chunked = seq_block is not None
     if chunked:
@@ -675,22 +1097,48 @@ def fit_plm(
         return jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
 
     pidx = jnp.asarray(stats.pair_index_matrix(l))
+    # the fused direction loop is the production full-batch compact path;
+    # streaming (seq_block) and w2-space runs use the generic fun-based loop
+    use_fused = not chunked and not w2space
     state = None
     done_iters = 0
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         state = _load_state(checkpoint_path)
+        if isinstance(state, PlmFusedState):
+            if not use_fused:
+                # continue under the generic loop (flags changed between
+                # runs); the caches convert exactly, resume is not bitwise
+                state = _generic_from_fused(state)
+        if not isinstance(state, PlmFusedState):
+            # a checkpoint written in the other parameter space wins: its
+            # history vectors cannot be converted, only continued
+            ckpt_w2 = state.x.size == l * q + (l * q) * (q * l)
+            if ckpt_w2 != w2space:
+                logger.info(
+                    "checkpoint is in %s space; continuing in that space",
+                    "w2" if ckpt_w2 else "compact",
+                )
+                w2space = ckpt_w2
+                use_fused = not chunked and not w2space
         done_iters = int(state.k)
-        # a checkpoint written in the other parameter space wins: its
-        # history vectors cannot be converted, only continued
-        ckpt_w2 = state.x.size == l * q + (l * q) * (q * l)
-        if ckpt_w2 != w2space:
-            logger.info(
-                "checkpoint is in %s space; continuing in that space",
-                "w2" if ckpt_w2 else "compact",
-            )
-            w2space = ckpt_w2
         logger.info("resumed plmDCA optimizer state at iteration %d", done_iters)
-    if state is None:
+    if use_fused:
+        weights = jnp.asarray(weights, jnp.float32)
+        with mesh_ctx():
+            x1h, maskq = _prep_msa_jit(msa, l, q)
+            if state is None:
+                state = _plm_fused_state0(
+                    msa, weights, lambda_h, lambda_j, l, q, m, mm_bf16,
+                    hist_bf16,
+                )
+            elif not isinstance(state, PlmFusedState):
+                # generic-format checkpoint (older run / other path):
+                # rebuild the fused caches at the checkpointed iterate
+                state = _fused_from_generic_jit(
+                    state, x1h, maskq, weights, lambda_h, lambda_j, l, q,
+                    mm_bf16,
+                )
+    elif state is None:
         with mesh_ctx():
             state = _plm_lbfgs_state0(
                 msa, weights, pidx, lambda_h, lambda_j, l, q, m, chunked,
@@ -705,10 +1153,16 @@ def fit_plm(
         todo = min(step, max_iterations - done_iters)
         try:
             with mesh_ctx():
-                state = _plm_lbfgs_steps(
-                    state, msa, weights, pidx, lambda_h, lambda_j, l, q, todo,
-                    chunked, mm_bf16, w2space,
-                )
+                if use_fused:
+                    state = _plm_fused_steps(
+                        state, x1h, maskq, weights, lambda_h, lambda_j,
+                        l, q, todo, mm_bf16,
+                    )
+                else:
+                    state = _plm_lbfgs_steps(
+                        state, msa, weights, pidx, lambda_h, lambda_j, l, q,
+                        todo, chunked, mm_bf16, w2space,
+                    )
             # one device->host fetch per chunk (the tunnel makes each
             # transfer expensive; state.k and state.done ride together)
             done_iters, is_done = jax.device_get((state.k, state.done))
@@ -730,6 +1184,13 @@ def fit_plm(
                 exc, checkpoint_path, retries,
             )
             state = _load_state(checkpoint_path)
+            if use_fused and not isinstance(state, PlmFusedState):
+                state = _fused_from_generic_jit(
+                    state, x1h, maskq, weights, lambda_h, lambda_j, l, q,
+                    mm_bf16,
+                )
+            elif not use_fused and isinstance(state, PlmFusedState):
+                state = _generic_from_fused(state)
             done_iters, is_done = int(state.k), bool(state.done)
             continue
         done_iters = int(done_iters)
@@ -740,11 +1201,32 @@ def fit_plm(
         ):
             _save_state(checkpoint_path, state)
             last_saved = done_iters
+    if use_fused:
+        return _result_from_fused(state)
     res = result_from_state(state)
     if w2space:
         # back to the reference's compact flat layout for the API surface
         res = res._replace(x=z_to_theta(res.x, l, q))
     return res
+
+
+@functools.partial(jax.jit, static_argnames=("l", "q"))
+def _prep_msa_jit(msa, l: int, q: int):
+    return _prep_msa(msa, l, q, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "q", "mm_bf16"))
+def _fused_from_generic_jit(
+    gstate, x1h, maskq, weights, lambda_h, lambda_j, l: int, q: int,
+    mm_bf16: bool,
+):
+    z = jnp.concatenate([gstate.s_hist, gstate.y_hist], axis=0)
+    st = _fused_state_from_theta(
+        gstate.x, z, gstate.k, gstate.converged, gstate.ls_failed,
+        gstate.n_evals, x1h, maskq, weights, lambda_h, lambda_j, l, q,
+        mm_bf16,
+    )
+    return st._replace(done=st.done | gstate.done)
 
 
 # w2-space memory budget: the optimizer holds ~(2m + 4) vectors of
@@ -798,13 +1280,27 @@ def _resolve_param_space(param_space: str, l: int, q: int, m: int, mm_bf16):
 def _save_state(path: str, state) -> None:
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
-    np.savez(path, **{k: np.asarray(v) for k, v in state._asdict().items()})
+    d = state._asdict()
+    if isinstance(state, PlmFusedState):
+        # stack the history rows; store as float32 (npz-portable; the
+        # bf16 -> f32 -> bf16 roundtrip is lossless so resume stays bitwise)
+        d["z"] = np.asarray(jnp.stack(state.z).astype(jnp.float32))
+        d["z_bf16"] = np.asarray(state.z[0].dtype == jnp.bfloat16)
+    np.savez(path, **{k: np.asarray(v) for k, v in d.items()})
 
 
 def _load_state(path: str):
     from .ops.lbfgs import LBFGSState
 
     z = np.load(path if path.endswith(".npz") else path + ".npz")
+    if "zzt" in z.files:  # fused-format checkpoint: caches ride along so
+        # resume is bitwise (logits/Grams are NOT recomputed)
+        vals = {k: jnp.asarray(z[k]) for k in PlmFusedState._fields}
+        zmat = vals["z"]  # tuple field saved stacked as (2m, D) float32
+        if "z_bf16" in z.files and bool(z["z_bf16"]):
+            zmat = zmat.astype(jnp.bfloat16)
+        vals["z"] = tuple(zmat[i] for i in range(zmat.shape[0]))
+        return PlmFusedState(**vals)
     vals = {}
     for k in LBFGSState._fields:
         if k in z.files:

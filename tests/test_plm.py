@@ -191,7 +191,10 @@ def test_fit_plm_seq_block_matches_full():
     r2 = fit_plm(
         jnp.asarray(msa), w, lam, lam, l, q, max_iterations=15, seq_block=16
     )
-    assert int(r2.num_iters) == int(r1.num_iters)
+    # full-batch runs the fused direction loop, streaming the generic one:
+    # same math, different float schedules, so iterates agree to tolerance
+    # (not bitwise) and iteration counts may differ by a rounding exit
+    assert abs(int(r2.num_iters) - int(r1.num_iters)) <= 3
     np.testing.assert_allclose(float(r2.fx), float(r1.fx), rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(r2.x), np.asarray(r1.x), rtol=2e-3, atol=2e-3
@@ -260,7 +263,8 @@ def test_fit_plm_recovers_from_device_error_via_checkpoint(tmp_path, monkeypatch
 
     ref = plm_mod.fit_plm(msa, w, lam, lam, l, q, max_iterations=20, chunk_size=5)
 
-    orig = plm_mod._plm_lbfgs_steps
+    # the full-batch fit runs the fused chunk program
+    orig = plm_mod._plm_fused_steps
     fail_at = {"calls": 0}
 
     def flaky(*args, **kwargs):
@@ -269,7 +273,7 @@ def test_fit_plm_recovers_from_device_error_via_checkpoint(tmp_path, monkeypatch
             raise RuntimeError("ABORTED: TPU backend error (synthetic)")
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(plm_mod, "_plm_lbfgs_steps", flaky)
+    monkeypatch.setattr(plm_mod, "_plm_fused_steps", flaky)
     res = plm_mod.fit_plm(
         msa, w, lam, lam, l, q,
         max_iterations=20, chunk_size=5,
