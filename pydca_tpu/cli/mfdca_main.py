@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("msa_file")
     sw.add_argument("--seqid", type=float)
     sw.add_argument("--pseudocount", type=float)
+    sw.add_argument(
+        "--mesh",
+        choices=["auto", "single"],
+        default="auto",
+        help="warm the programs for the matching compute_* --mesh mode",
+    )
     sw.add_argument("--verbose", action="store_true")
 
     # family batching: N MSAs -> one vmapped mean-field device program
@@ -344,6 +350,7 @@ def run_meanfield_dca(argv=None):
             msa.q,
             seqid=0.8 if args.seqid is None else args.seqid,
             pseudocount=0.5 if args.pseudocount is None else args.pseudocount,
+            mesh=None if args.mesh == "single" else args.mesh,
         )
         print(
             f"warmed mfDCA cache for N={msa.num_seqs}, L={msa.seqs_len}, "

@@ -107,6 +107,18 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument(
         "--precision", choices=["auto", "bfloat16", "float32"]
     )
+    sw.add_argument("--chunk_size", type=int)
+    sw.add_argument(
+        "--param_space", choices=["auto", "w2", "compact"], default="auto"
+    )
+    sw.add_argument(
+        "--mesh",
+        choices=["auto", "single"],
+        default="auto",
+        help="warm the programs for the matching compute_* --mesh mode "
+        "(auto = GSPMD-sharded over all visible devices; default matches "
+        "the compute commands)",
+    )
     sw.add_argument("--verbose", action="store_true")
 
     # family batching: N MSAs padded to one (F, Nmax, Lmax) block, fitted
@@ -355,6 +367,9 @@ def run_plm_dca(argv=None):
             else args.max_iterations,
             seq_block=args.seq_block,
             mm_bf16=resolve_precision(args.precision),
+            chunk_size=50 if args.chunk_size is None else args.chunk_size,
+            param_space=args.param_space,
+            mesh=None if args.mesh == "single" else args.mesh,
         )
         print(
             f"warmed plmDCA cache for N={msa.num_seqs}, L={msa.seqs_len}, "

@@ -68,13 +68,16 @@ def sequence_weights_sharded(
     The identity-count Gram contracts over the replicated L*q axis; each
     device computes its row block against the full alignment (an
     all-gather of the one-hot, inserted by GSPMD), then counts stay local.
+    Runs on the PADDED sharded alignment with pad rows valid-masked, so the
+    heavy program's input shapes/shardings are exactly what ``warmup``
+    AOT-compiles (an eager ``[:n]`` slice would give the program an
+    unmirrorable derived sharding).
     """
     with jax.set_mesh(mesh):
         msa_sharded, _ = shard_msa(mesh, msa)
         n = msa.shape[0]
-        # padded rows are all-gap duplicates; restrict to the true N
-        w = stats.sequence_weights(msa_sharded[:n], seqid, q)
-        return w
+        w = _weights_on_sharded(mesh, msa_sharded, n, seqid, q)
+        return w[:n]
 
 
 def _weights_on_sharded(mesh: Mesh, msa_s, n_true: int, seqid: float, q: int):

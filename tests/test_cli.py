@@ -284,6 +284,9 @@ def test_warmup_traces_exactly_what_fit_traces(tmp_path):
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.02)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # the cache object is a process singleton: re-point it at this test's dir
+    from jax._src import compilation_cache as _cc
+    _cc.reset_cache()
     try:
         rng = np.random.default_rng(17)
         n, l, q = 120, 14, 5
@@ -301,15 +304,70 @@ def test_warmup_traces_exactly_what_fit_traces(tmp_path):
 
         new = sorted(set(os.listdir(cache)) - warmed)
         # the engine may compile tiny eager helpers; the big engine
-        # programs (weights scan, L-BFGS init/steps, fused mf pipeline)
-        # must NOT appear as new entries
+        # programs (weights scan, fused/generic L-BFGS programs, one-hot
+        # prep, fused mf pipeline) must NOT appear as new entries
         heavy = [
             f for f in new
             if any(k in f for k in (
-                "_sequence_weights_impl", "_plm_lbfgs", "_mf_fused_pipeline",
+                "_sequence_weights_impl", "_plm_lbfgs", "_plm_fused",
+                "_prep_msa", "_mf_fused_pipeline",
             ))
         ]
         assert not heavy, f"engine recompiled warmed programs: {heavy}"
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cc.reset_cache()
+
+
+def test_warmup_covers_mesh_auto(tmp_path):
+    """r5 (VERDICT r4 item 4): warmup with a mesh AOT-compiles the
+    GSPMD-sharded executables — a subsequent sharded run (the CLIs'
+    ``--mesh auto`` default on multi-chip hosts) must be a pure cache hit
+    for every heavy program.  Previously warmup only covered single-device
+    programs and WARNED multi-chip users to run ``--mesh single``."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from pydca_tpu.parallel import fit_plm_sharded, make_mesh, mfdca_sharded
+    from pydca_tpu.warmup import warmup_meanfield, warmup_plm
+
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.02)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # the cache object is a process singleton: re-point it at this test's dir
+    from jax._src import compilation_cache as _cc
+    _cc.reset_cache()
+    try:
+        rng = np.random.default_rng(23)
+        n, l, q = 90, 12, 5  # n NOT divisible by 8: exercises pad mirroring
+        msa = rng.integers(0, q, (n, l)).astype(np.int32)
+        mesh = make_mesh()  # 8 virtual CPU devices, data axis
+
+        warmup_plm(n, l, q, max_iterations=6, chunk_size=3, mesh=mesh)
+        warmup_meanfield(n, l, q, mesh=mesh)
+        warmed = set(os.listdir(cache))
+        assert warmed, "mesh warmup produced no cache entries"
+
+        fit_plm_sharded(
+            msa, biomolecule_q=q, mesh=mesh, max_iterations=6, chunk_size=3
+        )
+        mfdca_sharded(msa, biomolecule_q=q, mesh=mesh)
+
+        new = sorted(set(os.listdir(cache)) - warmed)
+        heavy = [
+            f for f in new
+            if any(k in f for k in (
+                "_sequence_weights_impl", "_plm_lbfgs", "_plm_fused",
+                "_prep_msa", "_mf_fused_pipeline", "_mf_pipeline_sharded",
+            ))
+        ]
+        assert not heavy, f"sharded run recompiled warmed programs: {heavy}"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cc.reset_cache()
