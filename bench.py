@@ -281,6 +281,43 @@ def bench_deep():
         wdt = min(wdt, time.time() - t0)
     emit("weights_1m_pair_identities", n1m * n1m / wdt / 1e9, "G pairs/s", None)
     emit("weights_1m_wallclock", wdt, "s", None)
+    del m1m, variants_1m
+
+    # protein-shape deep weighting (r5, VERDICT r4 item 7): N=2x10^5,
+    # L=1000, q=21 executes the in-kernel one-hot at the shape the
+    # 21-GB-avoidance claim is about: the int32 codes are 0.8 GB on
+    # device (int8 in-kernel), while the (N, L*q) one-hot this kernel
+    # never builds would be ~17 GB here and 84 GB at N=10^6.
+    np_, lp, qp = 200_000, 1000, 21
+    basep = rng.integers(0, qp, size=(256, lp))
+    msap = basep[rng.integers(0, 256, size=np_)]
+    flipp = rng.random((np_, lp)) < 0.15
+    msap = np.where(flipp, rng.integers(0, qp, size=(np_, lp)), msap).astype(
+        np.int32
+    )
+    mp1 = jax.device_put(jnp.asarray(msap))
+    sync(stats.sequence_weights(mp1, 0.8, qp))  # compile + warm
+    variants_p = [
+        jax.device_put(jnp.asarray(np.roll(msap, k, axis=0))) for k in (1, 2)
+    ]
+    sync(variants_p)
+    wdt = 1e9
+    for mv in variants_p:
+        t0 = time.time()
+        sync(stats.sequence_weights(mv, 0.8, qp))
+        wdt = min(wdt, time.time() - t0)
+    lpad = 1024  # kernel pads L to the lane width
+    mxu_tf = np_ * np_ * 2.0 * lpad * qp / wdt / 1e12
+    emit("weights_200k_protein_wallclock", wdt, "s", None)
+    emit(
+        "weights_200k_protein",
+        np_ * np_ / wdt / 1e9,
+        "G pairs/s",
+        None,
+        note=f"L=1000 q=21: 2*Lpad*q MXU flops/pair -> {mxu_tf:.0f} TF/s "
+        f"({mxu_tf / 197 * 100:.0f}% bf16 peak)",
+    )
+    del mp1, variants_p, msap
 
     lam = jnp.float32(0.2 * (l - 1))
 

@@ -99,12 +99,22 @@ def identity_counts(
     ``block``: 1024 measured fastest on v5e (108 G pairs/s at N=100k,
     L=120, q=5 — 46x the r3 one-hot int8 kernel whose emulated int8
     compare path managed 2.3 G pairs/s); 2048 exceeds the 16 MB scoped
-    VMEM (the f32 accumulator tile alone is block^2 * 4 bytes).
+    VMEM (the f32 accumulator tile alone is block^2 * 4 bytes).  The row
+    block scales DOWN with sequence length (r4 ADVICE): per-tile VMEM
+    grows with Lpad (two int8 code tiles widened to int32 plus the
+    per-plane bf16 operands ~ 14 * block * Lpad bytes, plus the 4 * block^2
+    f32 accumulator), so a protein-length alignment halves the block until
+    the budget fits — validated on-chip at L=1000, N=2x10^5, q=21
+    (the BENCH ``weights_200k_protein`` line).
     """
     n, l = codes.shape
-    bi = min(block, _round_up(n, 32))
-    npad = _round_up(n, bi)
     lpad = _round_up(l, 128)
+    bi = min(block, _round_up(n, 32))
+    # VMEM tile budget: leave headroom under the 16 MiB scoped window
+    budget = 12 << 20
+    while bi > 128 and 14 * bi * lpad + 4 * bi * bi > budget:
+        bi //= 2
+    npad = _round_up(n, bi)
     x = jnp.pad(
         codes.astype(jnp.int8),
         ((0, npad - n), (0, lpad - l)),

@@ -230,10 +230,12 @@ def fit_plm_sharded(
         else:
             msa_s, w_s = shard_msa(mesh, msa.astype(np.int32), weights)
         if fit_kwargs.get("seq_block") is not None:
-            # streaming-on-the-mesh: fit_plm blocks the HOST alignment and
-            # places the blocks itself; hand it unpadded weights
+            # streaming-on-the-mesh: hand fit_plm the SHARDED alignment —
+            # it blocks and reshards on device (_pad_to_blocks_sharded),
+            # so the run's biggest tensor never round-trips the host
+            # (r4 ADVICE item 3); pad rows carry zero weight and are inert
             return fit_plm(
-                msa.astype(np.int32), w_s[:n], lam_h, lam_j, l, q,
+                msa_s, w_s, lam_h, lam_j, l, q,
                 max_iterations=max_iterations, mesh=mesh, **fit_kwargs,
             )
         return fit_plm(

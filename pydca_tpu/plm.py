@@ -415,6 +415,40 @@ def _plm_loss_w2_prepped(
 
 
 # ------------------------------------------------- sequence-chunked (large N)
+def _pad_to_blocks_sharded(msa: jax.Array, weights: jax.Array, block: int,
+                           l: int, mesh):
+    """Device-side streaming prep: (N, L) -> (nb, block, L) blocks placed
+    ``P(None, 'data', None)`` WITHOUT materializing the alignment on the
+    host.
+
+    Required for multi-host streaming: the global array from
+    :mod:`pydca_tpu.parallel.data` holds only each host's stripe;
+    ``np.asarray`` would gather all N rows onto every host (defeating
+    host-local loading, and raising on non-addressable shards).  GSPMD
+    compiles the pad+reshape+reshard into device collectives.  On one
+    host it also skips the host->device round trip of the run's biggest
+    tensor (r4 ADVICE item 3).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n = msa.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+
+    f = jax.jit(
+        lambda m, w: (
+            jnp.pad(m, ((0, pad), (0, 0))).reshape(nb, block, l),
+            jnp.pad(w, (0, pad)).reshape(nb, block),
+        ),
+        out_shardings=(
+            NamedSharding(mesh, P(None, "data", None)),
+            NamedSharding(mesh, P(None, "data")),
+        ),
+    )
+    return f(msa, weights)
+
+
 def _pad_to_blocks(msa: np.ndarray, weights, block: int):
     """Split (N, L) into (nb, block, L) with zero-weight padding rows."""
     n, l = msa.shape
@@ -1080,13 +1114,24 @@ def fit_plm(
             # each block's rows shard over 'data': keep block divisible
             ndata = int(mesh.shape["data"])
             block = -(-block // ndata) * ndata
-        msa, weights = _pad_to_blocks(np.asarray(msa), weights, block)
-        if mesh is not None:
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as P
+        if mesh is not None and isinstance(msa, jax.Array):
+            # already device-backed (possibly a multi-host global array):
+            # block and reshard ON DEVICE — never gather to the host
+            msa, weights = _pad_to_blocks_sharded(
+                msa, jnp.asarray(weights, jnp.float32), block, l, mesh
+            )
+        else:
+            msa, weights = _pad_to_blocks(np.asarray(msa), weights, block)
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
 
-            msa = jax.device_put(msa, NamedSharding(mesh, P(None, "data", None)))
-            weights = jax.device_put(weights, NamedSharding(mesh, P(None, "data")))
+                msa = jax.device_put(
+                    msa, NamedSharding(mesh, P(None, "data", None))
+                )
+                weights = jax.device_put(
+                    weights, NamedSharding(mesh, P(None, "data"))
+                )
     # np.savez appends .npz to a bare path; normalize so the resume
     # existence check and the save target always name the same file
     if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
@@ -1236,18 +1281,20 @@ W2SPACE_MAX_BYTES = 6 << 30
 
 
 def _resolve_param_space(param_space: str, l: int, q: int, m: int, mm_bf16):
-    """``auto`` resolves to the compact reference layout.
+    """``auto`` resolves to the compact reference layout — on every backend.
 
-    Measured on v5e (scripts/r4_space_diag.py, scripts/r4_lbfgs_overhead.py):
-    although the w2-space *evaluation* is 2.1x cheaper (1.7 vs 3.56 ms on
-    PF02826 — no coupling expansion/VJP), the L-BFGS machinery cost is
-    linear in the parameter-vector size and dominated by loop-carry /
-    line-search traffic, so doubling D to (Lq)^2 loses more than the eval
-    saves (fit walls: compact 1.00 s vs w2 1.54 s on PF02826; 0.141 vs
-    0.159 s on RF00059).  w2 remains an explicit option: it is the faster
-    choice on backends where the eval dominates (e.g. CPU compile +
-    L=195 protein: the veryslow 100-iteration parity fit dropped ~3x),
-    and its memory gate below still guards it.
+    r4 measured w2 ~3x faster end-to-end on CPU (the per-evaluation
+    coupling expansion dominated there), so auto was slated to become
+    backend-aware.  The r5 fused direction loop (expansion once per
+    DIRECTION, scalar line search, cached history projections) erased
+    that gap and flipped it: measured walls compact-fused vs w2 —
+    TPU v5e PF02826 100 it: 0.65 vs 1.5 s; CPU PF02826 10 it: 37 vs 45 s;
+    CPU RF00167 30 it: 1.69 vs 1.70 s (scripts/r5_fused_perf.py + the CPU
+    sweep in the r5 notes).  So compact wins everywhere and ``auto`` no
+    longer needs backend dispatch.  w2 remains an explicit option (its
+    trajectory differs — a different inner-product geometry — which can
+    reach a lower fx in few-iteration budgets), guarded by the memory
+    gate below.
     """
     if param_space == "compact":
         return False

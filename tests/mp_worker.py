@@ -48,6 +48,16 @@ lam = jnp.float32(0.2 * (l - 1))
 with jax.set_mesh(mesh):
     res = fit_plm(msa_g, w, lam, lam, l, q, max_iterations=5, mm_bf16=False)
 
+# STREAMING from the host-local shards (r5, VERDICT r4 item 1): the global
+# sharded array feeds fit_plm's seq_block leg directly — the blocking and
+# P(None,'data',None) placement happen on device, no host gather of the
+# full alignment (np.asarray on this array would raise: shards are not all
+# addressable from one process).
+res_stream = fit_plm(
+    msa_g, w, lam, lam, l, q,
+    max_iterations=5, mm_bf16=False, seq_block=8, mesh=mesh,
+)
+
 # each process dumps its local view + the replicated results
 local_w = np.concatenate(
     [np.asarray(s.data) for s in sorted(w.addressable_shards, key=lambda s: s.index)]
@@ -67,6 +77,9 @@ np.savez(
     gnorm=np.asarray(res.gnorm),
     x=np.asarray(res.x),
     num_iters=np.asarray(res.num_iters),
+    stream_fx=np.asarray(res_stream.fx),
+    stream_x=np.asarray(res_stream.x),
+    stream_num_iters=np.asarray(res_stream.num_iters),
     global_num_seqs=np.asarray(sharded.global_num_seqs),
     seqs_len=np.asarray(sharded.seqs_len),
 )
