@@ -28,7 +28,14 @@ import jax.numpy as jnp
 
 __all__ = ["tri_inv_lower", "spd_inverse", "cholesky_blocked", "syrk_sharded"]
 
-_BASE_BLOCK = 1024
+# Base-case size of the divide-and-conquer triangular inverse.  r5 sweep
+# at D=20000 on v5e (compile s / warm run s): 1024 -> 50.3/0.725,
+# 2048 -> 55.6/0.556, 4096 -> 68.6/0.467.  2048 takes most of the runtime
+# win for ~5 s of one-time compile; the compile wall itself is the
+# dominant piece of the L=1000 pipeline cold start (51.7 of 87.7 s) and
+# is mitigated by warmup + the persistent cache, not by shrinking blocks
+# (smaller bases compile no faster — see the sweep).
+_BASE_BLOCK = 2048
 
 
 def _model_axis_size(n: int):

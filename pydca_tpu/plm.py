@@ -1194,6 +1194,13 @@ def fit_plm(
     last_saved = done_iters
     is_done = bool(state.done)
     retries = 2  # elastic recovery: device/runtime failures mid-chunk
+    # Per-chunk (k, done) fetches each pay a device->host round trip
+    # (~15-25 ms on the tunneled TPU — a visible slice of a sub-second
+    # fit).  They are only needed when the host must OBSERVE progress
+    # (logging, checkpointing, retry bookkeeping); otherwise dispatch all
+    # chunks optimistically — a chunk whose while-loop is already done
+    # no-ops in ~a dispatch.
+    need_sync = progress_fn is not None or checkpoint_path is not None
     while done_iters < max_iterations and not is_done:
         todo = min(step, max_iterations - done_iters)
         try:
@@ -1208,6 +1215,9 @@ def fit_plm(
                         state, msa, weights, pidx, lambda_h, lambda_j, l, q,
                         todo, chunked, mm_bf16, w2space,
                     )
+            if not need_sync:
+                done_iters += todo  # optimistic; real k rides in the result
+                continue
             # one device->host fetch per chunk (the tunnel makes each
             # transfer expensive; state.k and state.done ride together)
             done_iters, is_done = jax.device_get((state.k, state.done))
