@@ -112,8 +112,15 @@ def default_hist_bf16() -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _logits_mm(x: jax.Array, w2: jax.Array, mm_bf16: bool) -> jax.Array:
-    """``x @ w2`` with optional bfloat16 operands and float32 accumulation.
+def _logits_mm(x: jax.Array, w4: jax.Array, mm_bf16: bool) -> jax.Array:
+    """Logits matmul on 4-D operands: ``x3 (n, j, b)`` x ``w4 (j, b, a, i)``
+    -> ``(n, a, i)``, with optional bfloat16 operands and f32 accumulation.
+
+    The operands stay 4-D on purpose: the algebraically equivalent 2-D
+    form needs ``w4.reshape(Lq, qL)`` of a TRANSPOSED tensor, and that
+    reshape is an XLA compile pathology — 30-95 s at PF02826 shape vs
+    ~2 s for the same contraction expressed with two contracting dims
+    (r5 cold-compile bisection; the emitted kernel is identical).
 
     Custom VJP: with bf16 operands the backward pass casts the *cotangent*
     to bfloat16 too, so the gradient matmul also runs at the MXU's double
@@ -126,28 +133,29 @@ def _logits_mm(x: jax.Array, w2: jax.Array, mm_bf16: bool) -> jax.Array:
     acc_dtype = jnp.float32 if mm_bf16 else x.dtype
     return jax.lax.dot_general(
         x.astype(mm_dtype),
-        w2.astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        w4.astype(mm_dtype),
+        dimension_numbers=(((1, 2), (0, 1)), ((), ())),
         preferred_element_type=acc_dtype,
     )
 
 
-def _logits_mm_fwd(x, w2, mm_bf16: bool):
+def _logits_mm_fwd(x, w4, mm_bf16: bool):
     # zero-size dtype token: residuals must be JAX types, not dtypes
-    return _logits_mm(x, w2, mm_bf16), (x, jnp.zeros((0,), w2.dtype))
+    return _logits_mm(x, w4, mm_bf16), (x, jnp.zeros((0,), w4.dtype))
 
 
 def _logits_mm_bwd(mm_bf16: bool, res, ct):
-    x, w2_token = res
+    x, w4_token = res
     mm_dtype = jnp.bfloat16 if mm_bf16 else x.dtype
     acc_dtype = jnp.float32 if mm_bf16 else x.dtype
-    dw2 = jax.lax.dot_general(
+    # ct is (n, a, i); contracting n gives the (j, b, a, i) cotangent
+    dw4 = jax.lax.dot_general(
         x.astype(mm_dtype),
         ct.astype(mm_dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
-    ).astype(w2_token.dtype)
-    return jnp.zeros_like(x), dw2
+    ).astype(w4_token.dtype)
+    return jnp.zeros_like(x), dw4
 
 
 _logits_mm.defvjp(_logits_mm_fwd, _logits_mm_bwd)
@@ -240,7 +248,8 @@ def _prep_msa(msa: jax.Array, l: int, q: int, dtype):
     (outside the L-BFGS ``while_loop``) instead of once per objective
     evaluation.
     """
-    x = jax.nn.one_hot(msa, q, dtype=dtype).reshape(-1, l * q)
+    x = jax.nn.one_hot(msa, q, dtype=dtype)  # (N, L, q): stays 3-D —
+    # the logits contraction pairs (j, b) as two dims (see _logits_mm)
     maskq = msa[:, None, :] == jnp.arange(q, dtype=msa.dtype)[None, :, None]
     return x, maskq
 
@@ -260,10 +269,9 @@ def _plm_loss_prepped(
     """
     dtype = theta.dtype
     h = theta[: l * q].reshape(l, q)
-    jfull = _expand_full(theta[l * q :], l, q)
-    # rows (j, b) = contraction side; cols (a, i) = output side
-    w2 = jfull.transpose(1, 3, 2, 0).reshape(l * q, q * l)
-    logits = _logits_mm(x, w2, mm_bf16).reshape(-1, q, l) + h.T[None]
+    # (j, b) leading = contraction side; (a, i) trailing = output side
+    w4 = _expand_full(theta[l * q :], l, q).transpose(1, 3, 2, 0)
+    logits = _logits_mm(x, w4, mm_bf16) + h.T[None]
     lse = _lse_q(logits)  # (N, L)
     picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)  # (N, L)
     nll = jnp.sum(weights[:, None] * (lse - picked))
@@ -479,13 +487,12 @@ def plm_loss_and_grad_chunked(
     """
     dtype = theta.dtype
     h = theta[: l * q].reshape(l, q)
-    jfull = _expand_full(theta[l * q :], l, q)
-    w2 = jfull.transpose(1, 3, 2, 0).reshape(l * q, q * l)
+    w4 = _expand_full(theta[l * q :], l, q).transpose(1, 3, 2, 0)
 
     def data_term(params, msa_b, w_b):
-        h_b, w2_b = params
+        h_b, w4_b = params
         x, maskq = _prep_msa(msa_b, l, q, dtype)
-        logits = _logits_mm(x, w2_b, mm_bf16).reshape(-1, q, l) + h_b.T[None]
+        logits = _logits_mm(x, w4_b, mm_bf16) + h_b.T[None]
         lse = _lse_q(logits)
         picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
         return jnp.sum(w_b[:, None] * (lse - picked))
@@ -493,20 +500,20 @@ def plm_loss_and_grad_chunked(
     def body(carry, blk):
         acc_f, acc_gh, acc_gj = carry
         msa_b, w_b = blk
-        f_b, (gh_b, gj_b) = jax.value_and_grad(data_term)((h, w2), msa_b, w_b)
+        f_b, (gh_b, gj_b) = jax.value_and_grad(data_term)((h, w4), msa_b, w_b)
         return (acc_f + f_b, acc_gh + gh_b, acc_gj + gj_b), None
 
     init = (
         jnp.zeros((), dtype),
         jnp.zeros_like(h),
-        jnp.zeros_like(w2),
+        jnp.zeros_like(w4),
     )
-    (nll, gh, gw2), _ = jax.lax.scan(body, init, (msa_blocks, w_blocks))
+    (nll, gh, gw4), _ = jax.lax.scan(body, init, (msa_blocks, w_blocks))
 
-    # pull the w2 cotangent back through the expansion: the (i<j) block of
+    # pull the w4 cotangent back through the expansion: the (i<j) block of
     # d/dJ_pair receives both its own and the transposed (j>i) contribution.
-    # w2 rows are (j, b), cols (a, i) -> reorder to (i, j, a, b).
-    gj4 = gw2.reshape(l, q, q, l).transpose(3, 0, 2, 1)  # (L, L, q, q)
+    # gw4 axes are (j, b, a, i) -> reorder to (i, j, a, b).
+    gj4 = gw4.transpose(3, 0, 2, 1)  # (L, L, q, q)
     iu, ju = _triu_pairs(l)
     gj_pairs = gj4[iu, ju] + jnp.swapaxes(gj4[ju, iu], -1, -2)  # (P, q, q)
 
@@ -586,10 +593,11 @@ def _make_loss_fun(
     # loop-invariant across all objective evaluations of an L-BFGS chunk.
     x, maskq = _prep_msa(msa, l, q, jnp.float32)
     if w2space:
+        x2 = x.reshape(-1, l * q)  # untransposed one-hot: trivial reshape
         xa = maskq.astype(jnp.float32).reshape(-1, q * l)
         grad_fn_z = jax.value_and_grad(_plm_loss_w2_prepped)
         return lambda z: grad_fn_z(
-            z, x, xa, maskq, weights, lambda_h, lambda_j, l, q
+            z, x2, xa, maskq, weights, lambda_h, lambda_j, l, q
         )
     grad_fn = jax.value_and_grad(_plm_loss_prepped)
     return lambda t: grad_fn(
@@ -616,7 +624,13 @@ def plm_loss_and_grad_w2_chunked(
     def data_term(params, msa_b, w_b):
         h_b, w2_b = params
         x, maskq = _prep_msa(msa_b, l, q, dtype)
-        logits = _logits_mm(x, w2_b, False).reshape(-1, q, l) + h_b.T[None]
+        logits = (
+            jax.lax.dot_general(
+                x.reshape(-1, l * q), w2_b,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+            ).reshape(-1, q, l)
+            + h_b.T[None]
+        )
         lse = _lse_q(logits)
         picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
         return jnp.sum(w_b[:, None] * (lse - picked))
@@ -674,6 +688,24 @@ def plm_loss_and_grad_w2_chunked(
 # D-axpys.  Replaces: pydca/plmdca/plmdcaBackend.cpp:47-94 (driver) +
 # lbfgs.cpp (MoreThuente) + plmdca_numerics.cpp:436-607 (gradient), with
 # identical convergence semantics to the generic loop above.
+#
+# Representation note: every parameter-space vector in the fused state is
+# a SPLIT PAIR ``(v_h (L*q,), v_j (P*q*q,))`` rather than one flat D
+# vector.  Slicing ``theta[l*q:]`` out of a flat vector and feeding it to
+# the expansion's row-gather is an XLA compile pathology at protein shape
+# (14-25 s per program vs ~3 s with separate operands — r5 cold-compile
+# bisection; barriers and dynamic-slice variants measured no better), and
+# every inner product is just the sum of the two parts' dots.
+
+
+def _sv_dot(a, b):
+    """Inner product of two split-pair vectors."""
+    return jnp.vdot(a[0], b[0]) + jnp.vdot(a[1], b[1])
+
+
+def _sv_axpy(x, alpha, y):
+    """x + alpha * y on split pairs."""
+    return (x[0] + alpha * y[0], x[1] + alpha * y[1])
 
 
 class PlmFusedState(NamedTuple):
@@ -682,18 +714,19 @@ class PlmFusedState(NamedTuple):
     Carries the caches that make the iteration traffic-lean: the carried
     logits/picked tensors (linearity #1) and the history projections
     zg = Z @ g, zzt = Z @ Z.T plus the scalar squares (linearity #2).
+    Vectors are split (h, J) pairs — see the representation note above.
     """
 
-    x: jax.Array
+    x: Tuple[jax.Array, jax.Array]
     f: jax.Array
-    g: jax.Array
-    # history rows as 2m SEPARATE (D,) leaves: rows 0..m-1 = S, m..2m-1 = Y.
-    # A stacked (2m, D) buffer forces a full-buffer copy per slot write
-    # inside lax.while_loop (dynamic_update_slice with a traced index does
-    # not alias on TPU: measured 3.0 ms/iter at D=8.35M); writing two
-    # leaves through a lax.switch whose other branches pass rows through
-    # untouched aliases in place (1.1 ms/iter incl. the full Z read).
-    z: Tuple[jax.Array, ...]
+    g: Tuple[jax.Array, jax.Array]
+    # history rows as 2m SEPARATE split-pair leaves: 0..m-1 = S, m..2m-1
+    # = Y.  A stacked (2m, D) buffer forces a full-buffer copy per slot
+    # write inside lax.while_loop (dynamic_update_slice with a traced
+    # index does not alias on TPU: measured 3.0 ms/iter at D=8.35M);
+    # writing leaves through a lax.switch whose other branches pass rows
+    # through untouched aliases in place (1.1 ms/iter incl. the Z read).
+    z: Tuple[Tuple[jax.Array, jax.Array], ...]
     zzt: jax.Array  # (2m, 2m) Gram cache
     zg: jax.Array  # (2m,) Z @ g cache
     gg: jax.Array  # ||g||^2
@@ -708,41 +741,42 @@ class PlmFusedState(NamedTuple):
     ls_failed: jax.Array
     n_evals: jax.Array
 
+    def theta(self) -> jax.Array:
+        """Reference-layout flat parameter vector [h; J]."""
+        return jnp.concatenate([self.x[0], self.x[1]])
 
-def _mm_f(a, b, mm_bf16: bool):
-    """Forward-style matmul ``a @ b`` honoring the bf16-operand knob."""
-    mm_dtype = jnp.bfloat16 if mm_bf16 else a.dtype
-    acc = jnp.float32 if mm_bf16 else a.dtype
+    def gnorm(self) -> jax.Array:
+        return jnp.sqrt(self.gg)
+
+
+def _mm_b4(x3, ct, mm_bf16: bool):
+    """Backward logits matmul: ``x3 (n, j, b)`` x ``ct (n, a, i)``
+    contracting n -> the 4-D ``(j, b, a, i)`` cotangent."""
+    mm_dtype = jnp.bfloat16 if mm_bf16 else x3.dtype
+    acc = jnp.float32 if mm_bf16 else x3.dtype
     return jax.lax.dot_general(
-        a.astype(mm_dtype),
-        b.astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=acc,
-    )
-
-
-def _mm_b(a, b, mm_bf16: bool):
-    """Backward-style matmul ``a.T @ b`` (contract leading N axis)."""
-    mm_dtype = jnp.bfloat16 if mm_bf16 else a.dtype
-    acc = jnp.float32 if mm_bf16 else a.dtype
-    return jax.lax.dot_general(
-        a.astype(mm_dtype),
-        b.astype(mm_dtype),
+        x3.astype(mm_dtype),
+        ct.astype(mm_dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=acc,
     )
 
 
-def _w2_cot_to_compact(gw2: jax.Array, l: int, q: int) -> jax.Array:
-    """Pull a raw w2-space cotangent back to the flat pair layout.
+def _w4_cot_to_compact(gw4: jax.Array, l: int, q: int) -> jax.Array:
+    """Pull a raw (j, b, a, i) logits-operand cotangent back to the flat
+    pair layout.
 
-    ``gw2`` has rows (j, b), cols (a, i); the compact gradient of pair
-    (i < j) receives its own (i, j) block plus the transposed (j, i)
-    block.  Implementation note: both gathers run on a 2-D whole-row view
-    of the materialized transpose — gathering (q, q) blocks through a
-    fused transpose is the slow path on TPU (measured 6.5 vs 1.0 ms at
-    PF02826 shape, scripts/r5_perm_probe.py).
+    The compact gradient of pair (i < j) receives its own (i, j) block
+    plus the transposed (j, i) block.  Implementation notes (both
+    measured, scripts/r5_perm_probe.py + the r5 cold-compile bisection):
+    - the gathers run on a 2-D whole-row view of the materialized
+      transpose — gathering (q, q) blocks through a fused transpose is
+      the slow RUNTIME path on TPU (6.5 vs 1.0 ms at PF02826 shape);
+    - the chain is entered through a contiguity-preserving 2-D reshape of
+      the matmul output — the same ops written against the 4-D value
+      COMPILE ~15x slower on the TPU backend (33.5 vs 2.3 s).
     """
+    gw2 = gw4.reshape(l * q, q * l)  # bitcast view of the matmul output
     gj4 = gw2.reshape(l, q, q, l).transpose(3, 0, 2, 1)  # (i, j, a, b)
     cr = gj4.reshape(l * l, q * q)
     iu, ju = _triu_pairs(l)
@@ -751,20 +785,22 @@ def _w2_cot_to_compact(gw2: jax.Array, l: int, q: int) -> jax.Array:
     return (d_ij + jnp.swapaxes(d_ji, -1, -2)).reshape(-1)
 
 
-def _expand_to_w2(j_flat: jax.Array, l: int, q: int) -> jax.Array:
-    """Flat pair couplings -> the (Lq, qL) matmul operand (w2 layout)."""
-    return _expand_full(j_flat, l, q).transpose(1, 3, 2, 0).reshape(
-        l * q, q * l
-    )
+def _expand_w4(j_flat: jax.Array, l: int, q: int) -> jax.Array:
+    """Flat pair couplings -> the 4-D (j, b, a, i) matmul operand.
+
+    Deliberately NOT reshaped to (Lq, qL): reshaping the transposed
+    tensor costs 30-95 s of XLA compile at PF02826 shape (r5 bisection);
+    :func:`_logits_mm` contracts the (j, b) dims directly instead.
+    """
+    return _expand_full(j_flat, l, q).transpose(1, 3, 2, 0)
 
 
 def _prep_u(x1h, maskq, d, l: int, q: int, mm_bf16: bool):
     """Direction image in logits space: u = x1h @ E(d_J) + d_h (once per
-    direction), plus its picked-state reduction."""
-    lq = l * q
-    dh = d[:lq].reshape(l, q)
-    w2d = _expand_to_w2(d[lq:], l, q)
-    u = _mm_f(x1h, w2d, mm_bf16).reshape(-1, q, l) + dh.T[None]
+    direction), plus its picked-state reduction.  ``d`` is a split pair."""
+    dh = d[0].reshape(l, q)
+    w4d = _expand_w4(d[1], l, q)
+    u = _logits_mm(x1h, w4d, mm_bf16) + dh.T[None]
     upicked = jnp.sum(jnp.where(maskq, u, 0), axis=1)
     return u, upicked
 
@@ -798,49 +834,63 @@ def _ct_gh(logits, maskq, weights):
     return ct, gh
 
 
+def _grad_at(logits, x1h, maskq, weights, x, lambda_h, lambda_j,
+             l: int, q: int, mm_bf16: bool):
+    """Full split gradient at the carried logits / parameter pair."""
+    ct, gh = _ct_gh(logits, maskq, weights)
+    gw4 = _mm_b4(x1h, ct, mm_bf16)
+    gj = _w4_cot_to_compact(gw4, l, q)
+    h = x[0].reshape(l, q)
+    g_h = (gh.T + 2.0 * lambda_h * h).reshape(-1)
+    g_j = gj + 2.0 * lambda_j * x[1]
+    return (g_h, g_j)
+
+
 def _fused_state_from_theta(
-    theta, z, k, converged, ls_failed, n_evals,
+    theta_h, theta_j, z, k, converged, ls_failed, n_evals,
     x1h, maskq, weights, lambda_h, lambda_j, l: int, q: int,
     mm_bf16: bool, epsilon: float = 1e-3,
 ):
-    """Build a full PlmFusedState at ``theta``: one forward + one gradient.
+    """Build a full PlmFusedState at ``(theta_h, theta_j)``: one forward +
+    one gradient.
 
     Used for the fresh start (J = 0) and for resuming from a generic
     (non-fused) checkpoint; the caches (zzt, zg, logits) are recomputed,
     so cross-format resume is exact to float recompute, not bitwise —
     fused checkpoints carry the caches and resume bitwise.
+    ``z``: sequence of 2m split pairs (or arrays splittable at l*q).
     """
     lq = l * q
-    dtype = theta.dtype
-    h = theta[:lq].reshape(l, q)
-    w2 = _expand_to_w2(theta[lq:], l, q)
-    logits = _mm_f(x1h, w2, mm_bf16).reshape(-1, q, l) + h.T[None]
+    dtype = theta_h.dtype
+    x = (theta_h, theta_j)
+    h = theta_h.reshape(l, q)
+    w4 = _expand_w4(theta_j, l, q)
+    logits = _logits_mm(x1h, w4, mm_bf16) + h.T[None]
     picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
     mx = jnp.max(logits, axis=1)
     lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None, :]), axis=1))
-    rh = jnp.vdot(h, h)
-    rj = jnp.vdot(theta[lq:], theta[lq:])
+    rh = jnp.vdot(theta_h, theta_h)
+    rj = jnp.vdot(theta_j, theta_j)
     nll = jnp.sum(weights[:, None] * (lse - picked))
     f = (nll + lambda_h * rh + lambda_j * rj).astype(dtype)
-    ct, gh = _ct_gh(logits, maskq, weights)
-    gw2 = _mm_b(x1h, ct.reshape(ct.shape[0], q * l), mm_bf16)
-    gj = _w2_cot_to_compact(gw2, l, q)
-    g = jnp.concatenate(
-        [
-            (gh.T + 2.0 * lambda_h * h).reshape(-1),
-            gj + 2.0 * lambda_j * theta[lq:],
-        ]
-    ).astype(dtype)
-    gg = jnp.vdot(g, g)
-    xx = jnp.vdot(theta, theta)
+    g = _grad_at(logits, x1h, maskq, weights, x, lambda_h, lambda_j, l, q,
+                 mm_bf16)
+    g = (g[0].astype(dtype), g[1].astype(dtype))
+    gg = _sv_dot(g, g)
+    xx = rh + rj
     conv0 = jnp.sqrt(gg) / jnp.maximum(jnp.sqrt(xx), 1.0) <= epsilon
-    zmat = jnp.stack(z) if isinstance(z, (tuple, list)) else z
-    rows = tuple(zmat[i] for i in range(zmat.shape[0]))
-    zmat32 = zmat.astype(dtype)
+    rows = tuple(
+        r if isinstance(r, tuple) else (r[:lq], r[lq:]) for r in z
+    )
+    # one-time Gram/projection rebuild: stack the parts and use two small
+    # matmuls (2m x 2m scalars) instead of (2m)^2 separate reductions
+    zh = jnp.stack([r[0] for r in rows]).astype(dtype)
+    zj = jnp.stack([r[1] for r in rows]).astype(dtype)
+    zzt = (zh @ zh.T + zj @ zj.T).astype(dtype)
+    zg = (zh @ g[0] + zj @ g[1]).astype(dtype)
     return PlmFusedState(
-        x=theta, f=f, g=g, z=rows,
-        zzt=(zmat32 @ zmat32.T).astype(dtype),
-        zg=(zmat32 @ g).astype(dtype),
+        x=x, f=f, g=g, z=rows,
+        zzt=zzt, zg=zg,
         gg=gg, xx=xx, rh=rh, rj=rj,
         logits=logits, picked=picked,
         k=jnp.asarray(k, jnp.int32),
@@ -859,12 +909,55 @@ def _plm_fused_state0(
     mm_bf16: bool = False, hist_bf16: bool = False,
 ):
     x1h, maskq = _prep_msa(msa, l, q, jnp.float32)
-    theta0 = init_params(msa, weights, l, q)
-    d = theta0.shape[0]
-    z = jnp.zeros((2 * m, d), jnp.bfloat16 if hist_bf16 else jnp.float32)
-    return _fused_state_from_theta(
-        theta0, z, 0, False, False, 1,
-        x1h, maskq, weights, lambda_h, lambda_j, l, q, mm_bf16,
+    lq = l * q
+    p = l * (l - 1) // 2
+    n = msa.shape[0]
+    dtype = jnp.float32
+    # reference init (plmdca_numerics.cpp:207-249) built directly as the
+    # split pair: slicing a concatenated theta would re-introduce the
+    # slice->gather compile pathology inside this very program
+    fi = stats.single_site_freqs(msa, weights, q)
+    meff = jnp.sum(weights)
+    h0 = jnp.log(fi * meff + 1.0)
+    h0 = h0 - jnp.mean(h0, axis=1, keepdims=True)
+    theta_h = h0.reshape(-1).astype(dtype)
+    theta_j = jnp.zeros((p * q * q,), dtype)
+    # J0 = 0 exactly: logits are the broadcast fields (no expansion, no
+    # forward matmul) and the empty history's Gram caches are zeros —
+    # this program then avoids the coupling-expansion composition whose
+    # TPU compile costs tens of seconds (r5 cold-compile bisection); the
+    # general _fused_state_from_theta is only traced on checkpoint resume
+    logits = jnp.zeros((n, q, l), dtype) + h0.T[None]
+    picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
+    mx = jnp.max(logits, axis=1)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None, :]), axis=1))
+    rh = jnp.vdot(theta_h, theta_h)
+    rj = jnp.zeros((), dtype)
+    nll = jnp.sum(weights[:, None] * (lse - picked))
+    f = (nll + lambda_h * rh).astype(dtype)
+    x = (theta_h, theta_j)
+    g = _grad_at(logits, x1h, maskq, weights, x, lambda_h, lambda_j, l, q,
+                 mm_bf16)
+    g = (g[0].astype(dtype), g[1].astype(dtype))
+    gg = _sv_dot(g, g)
+    xx = rh
+    conv0 = jnp.sqrt(gg) / jnp.maximum(jnp.sqrt(xx), 1.0) <= 1e-3
+    hist_dtype = jnp.bfloat16 if hist_bf16 else jnp.float32
+    zero = (
+        jnp.zeros((lq,), hist_dtype),
+        jnp.zeros((p * q * q,), hist_dtype),
+    )
+    z = tuple(zero for _ in range(2 * m))
+    return PlmFusedState(
+        x=x, f=f, g=g, z=z,
+        zzt=jnp.zeros((2 * m, 2 * m), dtype),
+        zg=jnp.zeros((2 * m,), dtype),
+        gg=gg, xx=xx, rh=rh, rj=rj,
+        logits=logits, picked=picked,
+        k=jnp.asarray(0, jnp.int32),
+        done=conv0, converged=conv0,
+        ls_failed=jnp.asarray(False, bool),
+        n_evals=jnp.asarray(1, jnp.int32),
     )
 
 
@@ -881,8 +974,7 @@ def _plm_fused_steps(
 ):
     """Advance the fused optimizer by up to ``num_steps`` iterations."""
     m = len(state.z) // 2
-    lq = l * q
-    dtype = state.x.dtype
+    dtype = state.f.dtype
     k_start = state.k
 
     def cond(st: PlmFusedState):
@@ -892,21 +984,24 @@ def _plm_fused_steps(
         gamma_eff, cfull, _dg0e, _dn2e = direction_coeffs(
             st.zg, st.zzt, st.gg, st.k, m
         )
-        zc = functools.reduce(
+        zc_h = functools.reduce(
             lambda a, b: a + b,
-            [cfull[r] * st.z[r].astype(dtype) for r in range(2 * m)],
+            [cfull[r] * st.z[r][0].astype(dtype) for r in range(2 * m)],
         )
-        d = -(gamma_eff * st.g + zc)
+        zc_j = functools.reduce(
+            lambda a, b: a + b,
+            [cfull[r] * st.z[r][1].astype(dtype) for r in range(2 * m)],
+        )
+        d = (-(gamma_eff * st.g[0] + zc_h), -(gamma_eff * st.g[1] + zc_j))
         # direct fused reductions over (d, g, x): the estimates from
         # direction_coeffs can lose low bits to cancellation; the line
         # search and the scalar recurrences get exact values
-        dg0 = jnp.vdot(st.g, d)
-        dnorm2 = jnp.maximum(jnp.vdot(d, d), 1e-30)
-        dh = d[:lq]
-        dh2 = jnp.vdot(dh, dh)
-        hd = jnp.vdot(st.x[:lq], dh)
-        jd = jnp.vdot(st.x[lq:], d[lq:])
-        dj2 = jnp.maximum(dnorm2 - dh2, 0.0)
+        dg0 = _sv_dot(st.g, d)
+        dh2 = jnp.vdot(d[0], d[0])
+        dj2 = jnp.vdot(d[1], d[1])
+        dnorm2 = jnp.maximum(dh2 + dj2, 1e-30)
+        hd = jnp.vdot(st.x[0], d[0])
+        jd = jnp.vdot(st.x[1], d[1])
         c1 = 2.0 * (lambda_h * hd + lambda_j * jd)
         c2 = lambda_h * dh2 + lambda_j * dj2
         reg0 = lambda_h * st.rh + lambda_j * st.rj
@@ -931,23 +1026,18 @@ def _plm_fused_steps(
         )
 
         # ---- accept: alpha = 0 when no step -> updates no-op bitwise
-        x_new = st.x + alpha * d
+        x_new = _sv_axpy(st.x, alpha, d)
         logits_new = st.logits + alpha * u
         picked_new = st.picked + alpha * upicked
-        ct, gh = _ct_gh(logits_new, maskq, weights)
-        gw2 = _mm_b(x1h, ct.reshape(ct.shape[0], q * l), mm_bf16)
-        gj = _w2_cot_to_compact(gw2, l, q)
-        h_new = x_new[:lq].reshape(l, q)
-        g_new = jnp.concatenate(
-            [
-                (gh.T + 2.0 * lambda_h * h_new).reshape(-1),
-                gj + 2.0 * lambda_j * x_new[lq:],
-            ]
-        ).astype(dtype)
+        g_new = _grad_at(
+            logits_new, x1h, maskq, weights, x_new, lambda_h, lambda_j,
+            l, q, mm_bf16,
+        )
+        g_new = (g_new[0].astype(dtype), g_new[1].astype(dtype))
 
-        gg_new = jnp.vdot(g_new, g_new)
-        gog = jnp.vdot(st.g, g_new)
-        dgn = jnp.vdot(d, g_new)
+        gg_new = _sv_dot(g_new, g_new)
+        gog = _sv_dot(st.g, g_new)
+        dgn = _sv_dot(d, g_new)
         xd = hd + jd
         xx_new = jnp.maximum(
             st.xx + 2.0 * alpha * xd + alpha * alpha * dnorm2, 0.0
@@ -955,21 +1045,22 @@ def _plm_fused_steps(
         rh_new = st.rh + 2.0 * alpha * hd + alpha * alpha * dh2
         rj_new = st.rj + 2.0 * alpha * jd + alpha * alpha * dj2
 
-        # ---- history: two leaf writes behind a switch (aliasing-friendly,
+        # ---- history: leaf writes behind a switch (aliasing-friendly,
         # see the PlmFusedState.z note), Gram bordered by scalar algebra
-        s_row = alpha * d
-        y_row = g_new - st.g
+        hist_dtype = st.z[0][0].dtype
+        s_row = ((alpha * d[0]).astype(hist_dtype),
+                 (alpha * d[1]).astype(hist_dtype))
+        y_row = ((g_new[0] - st.g[0]).astype(hist_dtype),
+                 (g_new[1] - st.g[1]).astype(hist_dtype))
         sy = alpha * (dgn - dg0)
         slot = jnp.mod(st.k, m)
         do_update = took & (sy > 1e-10)
 
-        hist_dtype = st.z[0].dtype
-
         def _write_slot(r):
             def br(rows):
                 lst = list(rows)
-                lst[r] = s_row.astype(hist_dtype)
-                lst[r + m] = y_row.astype(hist_dtype)
+                lst[r] = s_row
+                lst[r + m] = y_row
                 return tuple(lst)
             return br
 
@@ -982,7 +1073,11 @@ def _plm_fused_steps(
             st.z,
         )
         zg_new = jnp.stack(
-            [jnp.sum(row.astype(dtype) * g_new) for row in z_new]
+            [
+                jnp.sum(row[0].astype(dtype) * g_new[0])
+                + jnp.sum(row[1].astype(dtype) * g_new[1])
+                for row in z_new
+            ]
         ).astype(dtype)
 
         # new-row Gram entries against the OLD slots come from identities:
@@ -1016,7 +1111,7 @@ def _plm_fused_steps(
 
 def _result_from_fused(state: PlmFusedState) -> LBFGSResult:
     return LBFGSResult(
-        x=state.x,
+        x=state.theta(),
         fx=state.f,
         gnorm=jnp.sqrt(state.gg),
         num_iters=state.k,
@@ -1031,13 +1126,15 @@ def _generic_from_fused(state: PlmFusedState):
     from .ops.lbfgs import LBFGSState
 
     m = len(state.z) // 2
+    dtype = state.f.dtype
     sy_diag = jnp.diagonal(state.zzt[:m, m:])
     rho = jnp.where(sy_diag != 0, 1.0 / jnp.where(sy_diag == 0, 1.0, sy_diag), 0.0)
+    rows = [jnp.concatenate([r[0], r[1]]).astype(dtype) for r in state.z]
     return LBFGSState(
-        x=state.x, f=state.f, g=state.g,
-        s_hist=jnp.stack(state.z[:m]).astype(state.x.dtype),
-        y_hist=jnp.stack(state.z[m:]).astype(state.x.dtype),
-        rho=rho.astype(state.x.dtype),
+        x=state.theta(), f=state.f,
+        g=jnp.concatenate([state.g[0], state.g[1]]),
+        s_hist=jnp.stack(rows[:m]), y_hist=jnp.stack(rows[m:]),
+        rho=rho.astype(dtype),
         k=state.k, done=state.done, converged=state.converged,
         ls_failed=state.ls_failed, n_evals=state.n_evals,
     )
@@ -1275,11 +1372,16 @@ def _fused_from_generic_jit(
     gstate, x1h, maskq, weights, lambda_h, lambda_j, l: int, q: int,
     mm_bf16: bool,
 ):
-    z = jnp.concatenate([gstate.s_hist, gstate.y_hist], axis=0)
+    lq = l * q
+    z = tuple(
+        (row[:lq], row[lq:])
+        for hist in (gstate.s_hist, gstate.y_hist)
+        for row in hist
+    )
     st = _fused_state_from_theta(
-        gstate.x, z, gstate.k, gstate.converged, gstate.ls_failed,
-        gstate.n_evals, x1h, maskq, weights, lambda_h, lambda_j, l, q,
-        mm_bf16,
+        gstate.x[:lq], gstate.x[lq:], z, gstate.k, gstate.converged,
+        gstate.ls_failed, gstate.n_evals, x1h, maskq, weights, lambda_h,
+        lambda_j, l, q, mm_bf16,
     )
     return st._replace(done=st.done | gstate.done)
 
@@ -1339,10 +1441,18 @@ def _save_state(path: str, state) -> None:
     os.makedirs(parent, exist_ok=True)
     d = state._asdict()
     if isinstance(state, PlmFusedState):
-        # stack the history rows; store as float32 (npz-portable; the
-        # bf16 -> f32 -> bf16 roundtrip is lossless so resume stays bitwise)
-        d["z"] = np.asarray(jnp.stack(state.z).astype(jnp.float32))
-        d["z_bf16"] = np.asarray(state.z[0].dtype == jnp.bfloat16)
+        # flatten split pairs into reference-layout rows; store as float32
+        # (npz-portable; bf16 -> f32 -> bf16 roundtrips losslessly so
+        # resume stays bitwise)
+        d["x"] = np.asarray(state.theta())
+        d["g"] = np.asarray(jnp.concatenate([state.g[0], state.g[1]]))
+        d["z"] = np.stack(
+            [
+                np.asarray(jnp.concatenate([r[0], r[1]]).astype(jnp.float32))
+                for r in state.z
+            ]
+        )
+        d["z_bf16"] = np.asarray(state.z[0][0].dtype == jnp.bfloat16)
     np.savez(path, **{k: np.asarray(v) for k, v in d.items()})
 
 
@@ -1353,10 +1463,16 @@ def _load_state(path: str):
     if "zzt" in z.files:  # fused-format checkpoint: caches ride along so
         # resume is bitwise (logits/Grams are NOT recomputed)
         vals = {k: jnp.asarray(z[k]) for k in PlmFusedState._fields}
-        zmat = vals["z"]  # tuple field saved stacked as (2m, D) float32
+        _, qn, ln = z["logits"].shape
+        lq = qn * ln
+        zmat = vals["z"]  # pair leaves saved stacked as (2m, D) float32
         if "z_bf16" in z.files and bool(z["z_bf16"]):
             zmat = zmat.astype(jnp.bfloat16)
-        vals["z"] = tuple(zmat[i] for i in range(zmat.shape[0]))
+        vals["z"] = tuple(
+            (zmat[i, :lq], zmat[i, lq:]) for i in range(zmat.shape[0])
+        )
+        vals["x"] = (vals["x"][:lq], vals["x"][lq:])
+        vals["g"] = (vals["g"][:lq], vals["g"][lq:])
         return PlmFusedState(**vals)
     vals = {}
     for k in LBFGSState._fields:
@@ -1516,11 +1632,16 @@ class PlmDCA:
 
             def _progress(state):
                 if self.__verbose:
+                    gn = (
+                        state.gnorm()
+                        if hasattr(state, "gnorm")
+                        else jnp.linalg.norm(state.g)
+                    )
                     logger.info(
                         "plmDCA iteration %d: fx=%.6f |g|=%.4e",
                         int(state.k),
                         float(state.f),
-                        float(jnp.linalg.norm(state.g)),
+                        float(gn),
                     )
 
             weights = self.compute_seqs_weight()

@@ -55,10 +55,11 @@ def test_w2_loss_matches_compact_loss():
     w = jnp.asarray(np.random.default_rng(1).random(n), jnp.float32)
     lam = jnp.float32(1.7)
     theta = _random_theta(l, q, seed=2)
-    x, maskq = _prep_msa(m, l, q, jnp.float32)
+    x3, maskq = _prep_msa(m, l, q, jnp.float32)
+    x = x3.reshape(-1, l * q)  # w2-space losses take the 2-D one-hot
     xa = maskq.astype(jnp.float32).reshape(-1, q * l)
 
-    f_compact = _plm_loss_prepped(theta, x, maskq, w, lam, lam, l, q)
+    f_compact = _plm_loss_prepped(theta, x3, maskq, w, lam, lam, l, q)
     z = theta_to_z(theta, l, q)
     f_w2 = _plm_loss_w2_prepped(z, x, xa, maskq, w, lam, lam, l, q)
     np.testing.assert_allclose(float(f_w2), float(f_compact), rtol=1e-6)
@@ -76,11 +77,12 @@ def test_w2_gradient_is_exact_subspace_projection():
     w = jnp.asarray(np.random.default_rng(2).random(n), jnp.float32)
     lam = jnp.float32(1.1)
     theta = _random_theta(l, q, seed=4)
-    x, maskq = _prep_msa(m, l, q, jnp.float32)
+    x3, maskq = _prep_msa(m, l, q, jnp.float32)
+    x = x3.reshape(-1, l * q)  # w2-space losses take the 2-D one-hot
     xa = maskq.astype(jnp.float32).reshape(-1, q * l)
 
     g_compact = jax.grad(_plm_loss_prepped)(
-        theta, x, maskq, w, lam, lam, l, q
+        theta, x3, maskq, w, lam, lam, l, q
     )
     z = theta_to_z(theta, l, q)
     g_z = jax.grad(_plm_loss_w2_prepped)(
@@ -116,7 +118,8 @@ def test_w2_chunked_matches_w2_full():
     lam = jnp.float32(1.3)
     theta = _random_theta(l, q, seed=7)
     z = theta_to_z(theta, l, q)
-    x, maskq = _prep_msa(m, l, q, jnp.float32)
+    x3, maskq = _prep_msa(m, l, q, jnp.float32)
+    x = x3.reshape(-1, l * q)  # w2-space losses take the 2-D one-hot
     xa = maskq.astype(jnp.float32).reshape(-1, q * l)
 
     f_full, g_full = jax.value_and_grad(_plm_loss_w2_prepped)(
