@@ -8,6 +8,10 @@ inside one jit, one dispatch):
   C  double-gather: gather from j_flat AND a pre-transposed copy, fused
      where (no full-size swapaxes copy), then the standard matmul
 """
+# NOTE (r5): this probe pins the pre-r5 internal API (2-D one-hot /
+# (Lq, qL) coupling operands).  The r5 fused loop switched to 3-D one-hot
+# and 4-D operands (see plm.py); run this script against the r4 tree
+# (git log: "round 4" snapshot) to reproduce its published numbers.
 
 import os
 import sys

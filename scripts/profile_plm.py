@@ -12,6 +12,10 @@ cost.  Components:
 
 Usage: python scripts/profile_plm.py [pf02826|rf00167] [K]
 """
+# NOTE (r5): this probe pins the pre-r5 internal API (2-D one-hot /
+# (Lq, qL) coupling operands).  The r5 fused loop switched to 3-D one-hot
+# and 4-D operands (see plm.py); run this script against the r4 tree
+# (git log: "round 4" snapshot) to reproduce its published numbers.
 
 import os
 import sys

@@ -12,6 +12,10 @@ No device->host fetch happens until after the first timing block, so the
 tunnel's first-fetch penalty does not pollute any measurement
 (block_until_ready is not a fetch).
 """
+# NOTE (r5): this probe pins the pre-r5 internal API (2-D one-hot /
+# (Lq, qL) coupling operands).  The r5 fused loop switched to 3-D one-hot
+# and 4-D operands (see plm.py); run this script against the r4 tree
+# (git log: "round 4" snapshot) to reproduce its published numbers.
 
 import sys
 import os

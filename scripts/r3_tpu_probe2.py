@@ -9,6 +9,10 @@ and at REPS=30 the ~15-20 ms fixed dispatch+fetch overhead is ~30% of the
 wall — use the per-eval deltas between REPS settings, or trust bench.py's
 150-rep figures, for absolute rates.
 """
+# NOTE (r5): this probe pins the pre-r5 internal API (2-D one-hot /
+# (Lq, qL) coupling operands).  The r5 fused loop switched to 3-D one-hot
+# and 4-D operands (see plm.py); run this script against the r4 tree
+# (git log: "round 4" snapshot) to reproduce its published numbers.
 
 import sys
 import os

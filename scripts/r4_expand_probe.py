@@ -10,6 +10,10 @@ reps inside one jit:
   4. expansion fwd alone: single lax.gather directly into (j,b,a,i)
   5. step with the single-gather expansion wired in
 """
+# NOTE (r5): this probe pins the pre-r5 internal API (2-D one-hot /
+# (Lq, qL) coupling operands).  The r5 fused loop switched to 3-D one-hot
+# and 4-D operands (see plm.py); run this script against the r4 tree
+# (git log: "round 4" snapshot) to reproduce its published numbers.
 
 import sys
 import time

@@ -12,6 +12,10 @@ V2  dot_general directly on the (i,j,a,b) gather output, epilogue on
     (n, i, a) layout (trailing-q reductions — pays lane padding)
 V3  V1 + gradient symmetrization transpose (z-space L-BFGS eval cost)
 """
+# NOTE (r5): this probe pins the pre-r5 internal API (2-D one-hot /
+# (Lq, qL) coupling operands).  The r5 fused loop switched to 3-D one-hot
+# and 4-D operands (see plm.py); run this script against the r4 tree
+# (git log: "round 4" snapshot) to reproduce its published numbers.
 
 import sys
 import time
