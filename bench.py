@@ -343,15 +343,17 @@ def bench_deep():
     )
     mp1 = jax.device_put(jnp.asarray(msap))
     sync(stats.sequence_weights(mp1, 0.8, qp))  # compile + warm
-    variants_p = [
-        jax.device_put(jnp.asarray(np.roll(msap, k, axis=0))) for k in (1, 2)
-    ]
-    sync(variants_p)
+    del mp1
     wdt = 1e9
-    for mv in variants_p:
+    for k in (1, 2):
+        # stage ONE 0.8 GB variant at a time: holding all of them plus the
+        # earlier datasets intermittently OOMs the 16 GB chip
+        mv = jax.device_put(jnp.asarray(np.roll(msap, k, axis=0)))
+        sync(mv)
         t0 = time.time()
         sync(stats.sequence_weights(mv, 0.8, qp))
         wdt = min(wdt, time.time() - t0)
+        del mv
     lpad = 1024  # kernel pads L to the lane width
     mxu_tf = np_ * np_ * 2.0 * lpad * qp / wdt / 1e12
     emit("weights_200k_protein_wallclock", wdt, "s", None)
@@ -363,7 +365,7 @@ def bench_deep():
         note=f"L=1000 q=21: 2*Lpad*q MXU flops/pair -> {mxu_tf:.0f} TF/s "
         f"({mxu_tf / 197 * 100:.0f}% bf16 peak)",
     )
-    del mp1, variants_p, msap
+    del msap
 
     lam = jnp.float32(0.2 * (l - 1))
 
