@@ -345,3 +345,82 @@ def test_compact_direction_matches_two_loop():
         got = np.asarray(_two_loop(*args))
         np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10,
                                    err_msg=f"k={k}")
+
+
+def test_direction_coeffs_matches_two_loop():
+    """The scalar-coefficient direction (fused loop) must reproduce the
+    compact-representation / two-loop direction exactly: d = -(gamma*g +
+    Z.T @ c) with (gamma, c) from cached Gram projections only."""
+    from pydca_tpu.ops.lbfgs import _two_loop, direction_coeffs
+
+    rng = np.random.default_rng(11)
+    dsz, m = 300, 5
+    for k in (0, 1, 3, 5, 9, 17):
+        s_hist = np.zeros((m, dsz))
+        y_hist = np.zeros((m, dsz))
+        rho = np.zeros(m)
+        for t in range(max(0, k - m), k):
+            slot = t % m
+            s = rng.normal(size=dsz)
+            y = s * rng.uniform(0.5, 2.0) + 0.1 * rng.normal(size=dsz)
+            if s @ y <= 0:
+                y = s
+            s_hist[slot] = s
+            y_hist[slot] = y
+            rho[slot] = 1.0 / (s @ y)
+        g = rng.normal(size=dsz)
+        z = np.concatenate([s_hist, y_hist], axis=0)
+        zg = jnp.asarray(z @ g)
+        zzt = jnp.asarray(z @ z.T)
+        gg = jnp.asarray(g @ g)
+        gamma, c, dg0, dn2 = direction_coeffs(
+            zg, zzt, gg, jnp.asarray(k, jnp.int32), m
+        )
+        d = -(np.asarray(gamma) * g + np.asarray(c) @ z)
+        ref = np.asarray(
+            _two_loop(
+                jnp.asarray(g), jnp.asarray(s_hist), jnp.asarray(y_hist),
+                jnp.asarray(rho), jnp.asarray(k, jnp.int32), m,
+            )
+        )
+        np.testing.assert_allclose(d, ref, rtol=1e-9, atol=1e-10,
+                                   err_msg=f"k={k}")
+        # the scalar estimates agree with direct evaluation
+        np.testing.assert_allclose(float(dg0), float(g @ d), rtol=1e-6)
+        np.testing.assert_allclose(float(dn2), float(d @ d), rtol=1e-6)
+
+
+def test_wolfe_scalar_matches_vector_linesearch():
+    """wolfe_scalar must accept the same steps as the vector-space search
+    on a 1-D objective where phi is evaluated exactly."""
+    from pydca_tpu.ops.lbfgs import _wolfe_linesearch, wolfe_scalar
+
+    # phi(a) = (a - 2)^2 along d = 1 from x = 0: minimum at a = 2
+    def phi(a):
+        return (a - 2.0) ** 2, 2.0 * (a - 2.0)
+
+    f0 = jnp.float32(4.0)
+    dg0 = jnp.float32(-4.0)
+    a, f_new, took, rounding, trials = wolfe_scalar(
+        phi, f0, dg0, jnp.float32(1.0), jnp.float32(1e-4), jnp.float32(0.9),
+        10,
+    )
+    assert bool(took) and not bool(rounding)
+    # strong-Wolfe point for this parabola: |phi'(a)| <= 0.9*|phi'(0)|
+    assert abs(2.0 * (float(a) - 2.0)) <= 0.9 * 4.0 + 1e-6
+    assert float(f_new) < 4.0
+
+    def fun(x):
+        v = (x[0] - 2.0) ** 2
+        return v, jnp.array([2.0 * (x[0] - 2.0)])
+
+    x0 = jnp.zeros(1, jnp.float32)
+    g0 = jnp.array([-4.0], jnp.float32)
+    xv, fv, gv, tookv, roundv, trialsv = _wolfe_linesearch(
+        fun, x0, f0, g0, jnp.ones(1, jnp.float32), dg0, jnp.float32(1.0),
+        jnp.float32(1e-4), jnp.float32(0.9), 10,
+    )
+    assert bool(tookv)
+    np.testing.assert_allclose(float(xv[0]), float(a), rtol=1e-6)
+    np.testing.assert_allclose(float(fv), float(f_new), rtol=1e-6)
+    assert int(trialsv) == int(trials)
