@@ -168,6 +168,22 @@ def _triu_pairs(l: int):
     return iu, ju
 
 
+def _pair_pullback_rows(cr: jax.Array, l: int, q: int) -> jax.Array:
+    """Shared pullback tail: (l*l, q*q) rows in (i, j)-major order with
+    (a, b)-contiguous content -> flat (P*q*q,) pair-gradient.
+
+    Each pair (i < j) receives its own (i, j) block plus the transposed
+    (j, i) block.  Both gathers are whole-row 2-D gathers — gathering
+    (q, q) blocks through a fused transpose is ~5x slower on TPU (see the
+    layout note at :func:`_expand_full`).  Single source of truth for the
+    expansion VJP, the fused loop's pullback and the streaming scan tail.
+    """
+    iu, ju = _triu_pairs(l)
+    d_ij = cr[jnp.asarray(iu * l + ju)].reshape(-1, q, q)
+    d_ji = cr[jnp.asarray(ju * l + iu)].reshape(-1, q, q)
+    return (d_ij + jnp.swapaxes(d_ji, -1, -2)).reshape(-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _expand_full(j_flat: jax.Array, l: int, q: int) -> jax.Array:
     """Expand flat (P, q, q) couplings to the full symmetric (L, L, q, q) tensor.
@@ -201,11 +217,7 @@ def _expand_full_fwd(j_flat, l: int, q: int):
 
 
 def _expand_full_bwd(l: int, q: int, _, ct):
-    iu, ju = _triu_pairs(l)
-    cr = ct.reshape(l * l, q * q)  # row gathers (see layout note above)
-    d_ij = cr[jnp.asarray(iu * l + ju)].reshape(-1, q, q)
-    d_ji = cr[jnp.asarray(ju * l + iu)].reshape(-1, q, q)
-    return ((d_ij + jnp.swapaxes(d_ji, -1, -2)).reshape(-1),)
+    return (_pair_pullback_rows(ct.reshape(l * l, q * q), l, q),)
 
 
 _expand_full.defvjp(_expand_full_fwd, _expand_full_bwd)
@@ -510,19 +522,18 @@ def plm_loss_and_grad_chunked(
     )
     (nll, gh, gw4), _ = jax.lax.scan(body, init, (msa_blocks, w_blocks))
 
-    # pull the w4 cotangent back through the expansion: the (i<j) block of
-    # d/dJ_pair receives both its own and the transposed (j>i) contribution.
-    # gw4 axes are (j, b, a, i) -> reorder to (i, j, a, b).
-    gj4 = gw4.transpose(3, 0, 2, 1)  # (L, L, q, q)
-    iu, ju = _triu_pairs(l)
-    gj_pairs = gj4[iu, ju] + jnp.swapaxes(gj4[ju, iu], -1, -2)  # (P, q, q)
+    # pull the w4 cotangent back through the expansion: gw4 axes are
+    # (j, b, a, i) -> reorder to (i, j, a, b) rows for the shared tail
+    gj_flat = _pair_pullback_rows(
+        gw4.transpose(3, 0, 2, 1).reshape(l * l, q * q), l, q
+    )
 
     jflat = theta[l * q :]
     loss = nll + lambda_h * jnp.sum(h * h) + lambda_j * jnp.sum(jflat**2)
     grad = jnp.concatenate(
         [
             (gh + 2.0 * lambda_h * h).reshape(-1),
-            (gj_pairs.reshape(-1) + 2.0 * lambda_j * jflat),
+            (gj_flat + 2.0 * lambda_j * jflat),
         ]
     )
     return loss, grad
@@ -778,11 +789,7 @@ def _w4_cot_to_compact(gw4: jax.Array, l: int, q: int) -> jax.Array:
     """
     gw2 = gw4.reshape(l * q, q * l)  # bitcast view of the matmul output
     gj4 = gw2.reshape(l, q, q, l).transpose(3, 0, 2, 1)  # (i, j, a, b)
-    cr = gj4.reshape(l * l, q * q)
-    iu, ju = _triu_pairs(l)
-    d_ij = cr[jnp.asarray(iu * l + ju)].reshape(-1, q, q)
-    d_ji = cr[jnp.asarray(ju * l + iu)].reshape(-1, q, q)
-    return (d_ij + jnp.swapaxes(d_ji, -1, -2)).reshape(-1)
+    return _pair_pullback_rows(gj4.reshape(l * l, q * q), l, q)
 
 
 def _expand_w4(j_flat: jax.Array, l: int, q: int) -> jax.Array:
@@ -821,6 +828,14 @@ def _phi_dphi(logits, picked, u, upicked, weights, alpha):
     su = jnp.sum(e * u, axis=1) / se  # E_softmax[u]  (N, L)
     dnll = jnp.sum(weights[:, None] * (su - upicked))
     return nll, dnll
+
+
+def _nll_at(logits, picked, weights):
+    """Weighted negative log-pseudolikelihood from carried logits/picked
+    (the alpha = 0 special case of :func:`_phi_dphi`'s value path)."""
+    mx = jnp.max(logits, axis=1)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None, :]), axis=1))
+    return jnp.sum(weights[:, None] * (lse - picked))
 
 
 def _ct_gh(logits, maskq, weights):
@@ -867,12 +882,11 @@ def _fused_state_from_theta(
     w4 = _expand_w4(theta_j, l, q)
     logits = _logits_mm(x1h, w4, mm_bf16) + h.T[None]
     picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
-    mx = jnp.max(logits, axis=1)
-    lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None, :]), axis=1))
     rh = jnp.vdot(theta_h, theta_h)
     rj = jnp.vdot(theta_j, theta_j)
-    nll = jnp.sum(weights[:, None] * (lse - picked))
-    f = (nll + lambda_h * rh + lambda_j * rj).astype(dtype)
+    f = (
+        _nll_at(logits, picked, weights) + lambda_h * rh + lambda_j * rj
+    ).astype(dtype)
     g = _grad_at(logits, x1h, maskq, weights, x, lambda_h, lambda_j, l, q,
                  mm_bf16)
     g = (g[0].astype(dtype), g[1].astype(dtype))
@@ -902,11 +916,13 @@ def _fused_state_from_theta(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "q", "m", "mm_bf16", "hist_bf16")
+    jax.jit,
+    static_argnames=("l", "q", "m", "mm_bf16", "hist_bf16", "epsilon"),
 )
 def _plm_fused_state0(
     msa, weights, lambda_h, lambda_j, l: int, q: int, m: int,
     mm_bf16: bool = False, hist_bf16: bool = False,
+    epsilon: float = 1e-3,
 ):
     x1h, maskq = _prep_msa(msa, l, q, jnp.float32)
     lq = l * q
@@ -929,19 +945,16 @@ def _plm_fused_state0(
     # general _fused_state_from_theta is only traced on checkpoint resume
     logits = jnp.zeros((n, q, l), dtype) + h0.T[None]
     picked = jnp.sum(jnp.where(maskq, logits, 0), axis=1)
-    mx = jnp.max(logits, axis=1)
-    lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None, :]), axis=1))
     rh = jnp.vdot(theta_h, theta_h)
     rj = jnp.zeros((), dtype)
-    nll = jnp.sum(weights[:, None] * (lse - picked))
-    f = (nll + lambda_h * rh).astype(dtype)
+    f = (_nll_at(logits, picked, weights) + lambda_h * rh).astype(dtype)
     x = (theta_h, theta_j)
     g = _grad_at(logits, x1h, maskq, weights, x, lambda_h, lambda_j, l, q,
                  mm_bf16)
     g = (g[0].astype(dtype), g[1].astype(dtype))
     gg = _sv_dot(g, g)
     xx = rh
-    conv0 = jnp.sqrt(gg) / jnp.maximum(jnp.sqrt(xx), 1.0) <= 1e-3
+    conv0 = jnp.sqrt(gg) / jnp.maximum(jnp.sqrt(xx), 1.0) <= epsilon
     hist_dtype = jnp.bfloat16 if hist_bf16 else jnp.float32
     zero = (
         jnp.zeros((lq,), hist_dtype),
@@ -997,6 +1010,20 @@ def _plm_fused_steps(
         # direction_coeffs can lose low bits to cancellation; the line
         # search and the scalar recurrences get exact values
         dg0 = _sv_dot(st.g, d)
+        # steepest-descent fallback on the EXACT dg0: direction_coeffs
+        # gates on its scalar-cache estimate, which can disagree near
+        # convergence (bf16 history rounding / cache drift); searching a
+        # non-descent direction would terminate prematurely where the
+        # generic loop recovers with d = -g (review r5).  Rare path: the
+        # conditional executes the copy only when taken.
+        bad_dir = dg0 >= 0
+        d = jax.lax.cond(
+            bad_dir,
+            lambda dd: (-st.g[0], -st.g[1]),
+            lambda dd: dd,
+            d,
+        )
+        dg0 = jnp.where(bad_dir, -st.gg, dg0)
         dh2 = jnp.vdot(d[0], d[0])
         dj2 = jnp.vdot(d[1], d[1])
         dnorm2 = jnp.maximum(dh2 + dj2, 1e-30)
@@ -1082,7 +1109,10 @@ def _plm_fused_steps(
 
         # new-row Gram entries against the OLD slots come from identities:
         # Z@s = alpha * Z@d = -alpha*(gamma*Zg + ZZt@c);  Z@y = Z@g' - Z@g
-        zd = -(gamma_eff * st.zg + st.zzt @ cfull)
+        # (under the exact-dg0 fallback d = -g, Z@d collapses to -Zg)
+        zd = jnp.where(
+            bad_dir, -st.zg, -(gamma_eff * st.zg + st.zzt @ cfull)
+        )
         zs_vec = (alpha * zd).at[slot].set(alpha * alpha * dnorm2)
         zs_vec = zs_vec.at[slot + m].set(sy)
         zy_vec = (zg_new - st.zg).at[slot].set(sy)
@@ -1439,6 +1469,15 @@ def _resolve_param_space(param_space: str, l: int, q: int, m: int, mm_bf16):
 def _save_state(path: str, state) -> None:
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
+    if isinstance(state, PlmFusedState) and not (
+        state.logits.is_fully_addressable
+    ):
+        # multi-host run: the carried logits/picked are data-sharded
+        # across processes and cannot be np.asarray'd here.  Save the
+        # generic form instead (replicated D-vectors only) — resume
+        # rebuilds the fused caches (exact to float recompute, not
+        # bitwise; single-host checkpoints keep the bitwise guarantee).
+        state = _generic_from_fused(state)
     d = state._asdict()
     if isinstance(state, PlmFusedState):
         # flatten split pairs into reference-layout rows; store as float32
@@ -1631,18 +1670,22 @@ class PlmDCA:
             l, q = self.msa.seqs_len, self.msa.q
 
             def _progress(state):
-                if self.__verbose:
-                    gn = (
-                        state.gnorm()
-                        if hasattr(state, "gnorm")
-                        else jnp.linalg.norm(state.g)
-                    )
-                    logger.info(
-                        "plmDCA iteration %d: fx=%.6f |g|=%.4e",
-                        int(state.k),
-                        float(state.f),
-                        float(gn),
-                    )
+                gn = (
+                    state.gnorm()
+                    if hasattr(state, "gnorm")
+                    else jnp.linalg.norm(state.g)
+                )
+                logger.info(
+                    "plmDCA iteration %d: fx=%.6f |g|=%.4e",
+                    int(state.k),
+                    float(state.f),
+                    float(gn),
+                )
+
+            # only wire the per-chunk callback when it will actually log:
+            # a progress_fn forces a device->host (k, done) fetch per chunk
+            # (fit_plm's need_sync), ~15-25 ms each on the tunneled TPU
+            progress_fn = _progress if self.__verbose else None
 
             weights = self.compute_seqs_weight()
             with self.timers.stage("fit"):
@@ -1657,7 +1700,7 @@ class PlmDCA:
                         max_iterations=self.__max_iterations,
                         mesh=self.__mesh,
                         weights=weights,
-                        progress_fn=_progress,
+                        progress_fn=progress_fn,
                         checkpoint_path=self.__checkpoint_path,
                         seq_block=self.__seq_block,
                         mm_bf16=self.__mm_bf16,
@@ -1672,7 +1715,7 @@ class PlmDCA:
                         l,
                         q,
                         max_iterations=self.__max_iterations,
-                        progress_fn=_progress,
+                        progress_fn=progress_fn,
                         checkpoint_path=self.__checkpoint_path,
                         seq_block=self.__seq_block,
                         mm_bf16=self.__mm_bf16,

@@ -233,6 +233,23 @@ def warmup_plm(
             w_spec = jax.ShapeDtypeStruct((n,), jnp.float32)
         pidx_spec = jax.ShapeDtypeStruct((l, l), jnp.int32)
 
+        from jax.sharding import NamedSharding
+
+        def _specs_of(compiled):
+            # out_info carries shape+dtype+sharding; strip the concrete
+            # Layout, and keep the sharding only when it is a mesh
+            # NamedSharding — a SingleDeviceSharding would stamp
+            # sdy.sharding annotations into the lowered module that a
+            # real jit call on plain arrays does not have (cache miss)
+            def spec(i):
+                if isinstance(i.sharding, NamedSharding):
+                    return jax.ShapeDtypeStruct(
+                        i.shape, i.dtype, sharding=i.sharding
+                    )
+                return jax.ShapeDtypeStruct(i.shape, i.dtype)
+
+            return jax.tree_util.tree_map(spec, compiled.out_info)
+
         if not chunked and not w2space:
             # fused direction loop: chain each program's output shardings
             # into the next lower so the cache keys match the real run
@@ -240,24 +257,6 @@ def warmup_plm(
             state_c = _plm_fused_state0.lower(
                 msa_spec, w_spec, lam, lam, l, q, m, mm_bf16, hist_bf16
             ).compile()
-
-            from jax.sharding import NamedSharding
-
-            def _specs_of(compiled):
-                # out_info carries shape+dtype+sharding; strip the concrete
-                # Layout, and keep the sharding only when it is a mesh
-                # NamedSharding — a SingleDeviceSharding would stamp
-                # sdy.sharding annotations into the lowered module that a
-                # real jit call on plain arrays does not have (cache miss)
-                def spec(i):
-                    if isinstance(i.sharding, NamedSharding):
-                        return jax.ShapeDtypeStruct(
-                            i.shape, i.dtype, sharding=i.sharding
-                        )
-                    return jax.ShapeDtypeStruct(i.shape, i.dtype)
-
-                return jax.tree_util.tree_map(spec, compiled.out_info)
-
             x1h_spec, maskq_spec = _specs_of(prep_c)
             state_spec = _specs_of(state_c)
             for todo in todos:
@@ -266,18 +265,15 @@ def warmup_plm(
                     l, q, todo, mm_bf16,
                 ).compile()
         else:
-            state_spec = jax.eval_shape(
-                lambda msa, w, pidx: _plm_lbfgs_state0(
-                    msa, w, pidx, lam, lam, l, q, m, chunked, mm_bf16, w2space
-                ),
-                msa_spec,
-                w_spec,
-                pidx_spec,
-            )
-            _plm_lbfgs_state0.lower(
+            # generic loop (streaming / w2): chain the compiled state's
+            # out_info too — an eval_shape spec would drop the GSPMD
+            # shardings and the real sharded run would miss the cache
+            # (review r5)
+            state_c = _plm_lbfgs_state0.lower(
                 msa_spec, w_spec, pidx_spec, lam, lam, l, q, m, chunked,
                 mm_bf16, w2space,
             ).compile()
+            state_spec = _specs_of(state_c)
             for todo in todos:
                 _plm_lbfgs_steps.lower(
                     state_spec, msa_spec, w_spec, pidx_spec, lam, lam, l, q,

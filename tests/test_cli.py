@@ -353,10 +353,21 @@ def test_warmup_covers_mesh_auto(tmp_path):
         warmed = set(os.listdir(cache))
         assert warmed, "mesh warmup produced no cache entries"
 
+        warmup_plm(
+            n, l, q, max_iterations=6, chunk_size=3, mesh=mesh, seq_block=16
+        )
+        warmed = set(os.listdir(cache)) | warmed
+
         fit_plm_sharded(
             msa, biomolecule_q=q, mesh=mesh, max_iterations=6, chunk_size=3
         )
         mfdca_sharded(msa, biomolecule_q=q, mesh=mesh)
+        # streaming-on-the-mesh (generic loop) must hit the warmed sharded
+        # programs too (review r5: its state spec used to drop shardings)
+        fit_plm_sharded(
+            msa, biomolecule_q=q, mesh=mesh, max_iterations=6, chunk_size=3,
+            seq_block=16,
+        )
 
         new = sorted(set(os.listdir(cache)) - warmed)
         heavy = [
