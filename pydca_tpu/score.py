@@ -47,10 +47,13 @@ def gauge_shift(blocks: jax.Array) -> jax.Array:
 
 
 @jax.jit
+@jax.jit
 def frobenius_norms(blocks: jax.Array) -> jax.Array:
     """Frobenius norm of gauge-shifted coupling blocks: ``(P,)`` scores.
 
     Reference: ``meanfield_dca.py:926-940`` / ``plmdca.py:461-477``.
+    Jitted: called eagerly from the engines, one cacheable program
+    (warmed by ``warmup_plm``) instead of a handful of per-op dispatches.
     """
     shifted = gauge_shift(blocks)
     return jnp.sqrt(jnp.sum(shifted * shifted, axis=(-2, -1)))

@@ -179,6 +179,13 @@ def sequence_weights(
         sims = _pallas_counts(msa, thr, q)
     else:
         sims = _sequence_weights_impl(msa, jnp.float32(thr), q, blk)
+    return _counts_to_weights(sims, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _counts_to_weights(sims: jax.Array, dtype) -> jax.Array:
+    """1/m weights from neighbor counts — one cacheable program (the eager
+    astype+divide pair used to cost two per-process compiles)."""
     return (1.0 / sims.astype(dtype)).astype(dtype)
 
 

@@ -193,6 +193,22 @@ def warmup_plm(
     t0 = time.perf_counter()
     _weights_warmup(n, l, q, seqid, mesh)
 
+    # scoring programs (small, but every compile is a remote-compile round
+    # trip on tunneled setups): the FN + APC pipeline the CLI always runs
+    from . import score as score_mod
+    from . import stats as stats_mod
+
+    p_pairs = l * (l - 1) // 2
+    score_mod.frobenius_norms.lower(
+        jax.ShapeDtypeStruct((p_pairs, q - 1, q - 1), jnp.float32)
+    ).compile()
+    score_mod.apc.lower(
+        jax.ShapeDtypeStruct((p_pairs,), jnp.float32), l
+    ).compile()
+    stats_mod._counts_to_weights.lower(
+        jax.ShapeDtypeStruct((n,), jnp.int32), jnp.float32
+    ).compile()
+
     # auto-streaming threshold mirrors PlmDCA.__init__
     if seq_block is None and 4 * n * l * q > (1 << 30):
         seq_block = max(1024, int((1 << 30) / (4 * l * q)))
