@@ -88,6 +88,9 @@ def _weights_warmup(n: int, l: int, q: int, seqid: float, mesh=None) -> None:
         stats._sequence_weights_impl.lower(
             msa_spec, jnp.float32(thr), q, blk
         ).compile()
+    stats._counts_to_weights.lower(
+        jax.ShapeDtypeStruct((n,), jnp.int32), jnp.float32
+    ).compile()
 
 
 def warmup_meanfield(
@@ -196,7 +199,6 @@ def warmup_plm(
     # scoring programs (small, but every compile is a remote-compile round
     # trip on tunneled setups): the FN + APC pipeline the CLI always runs
     from . import score as score_mod
-    from . import stats as stats_mod
 
     p_pairs = l * (l - 1) // 2
     score_mod.frobenius_norms.lower(
@@ -204,9 +206,6 @@ def warmup_plm(
     ).compile()
     score_mod.apc.lower(
         jax.ShapeDtypeStruct((p_pairs,), jnp.float32), l
-    ).compile()
-    stats_mod._counts_to_weights.lower(
-        jax.ShapeDtypeStruct((n,), jnp.int32), jnp.float32
     ).compile()
 
     # auto-streaming threshold mirrors PlmDCA.__init__
